@@ -1,0 +1,103 @@
+"""Bilinear grid sampling (the TPS warp) — torch.nn.functional.grid_sample
+semantics with ``padding_mode="border"`` and ``align_corners=True``
+(reference: modules/transformation.py:38-44), for NHWC images.
+
+XLA has no native grid_sample; two TPU implementations are provided:
+
+- ``grid_sample`` (default): 4-corner gather via take_along_axis on the
+  flattened spatial axis.  The gathered tensors are tiny ([B, P, C]) so this
+  is bandwidth-trivial next to the conv stacks that surround it.
+- ``grid_sample_matmul``: expresses the bilinear weights as per-pixel one-hot
+  rows and contracts them with the image on the MXU (two einsums), processed
+  in row blocks to bound the materialized weight tensors.  Useful when a
+  backend's gather is slow; also the blueprint for the fused Pallas kernel.
+
+Both support autodiff (gather/scatter or matmul transpose respectively).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["grid_sample", "grid_sample_matmul"]
+
+
+def _unnormalize(coord, size):
+    """align_corners=True mapping from [-1, 1] to pixel coordinates, then
+    border clamp (torch clamps the unnormalized coordinate)."""
+    ix = (coord + 1.0) * 0.5 * (size - 1)
+    return jnp.clip(ix, 0.0, size - 1)
+
+
+def _corners(ix, size):
+    x0 = jnp.floor(ix)
+    fx = ix - x0
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, size - 1)
+    x1i = jnp.clip(x0i + 1, 0, size - 1)
+    return x0i, x1i, fx
+
+
+def grid_sample(image: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
+    """image: [B, H, W, C]; grid: [B, Ho, Wo, 2] with (x, y) in [-1, 1].
+    Returns [B, Ho, Wo, C]."""
+    b, h, w, c = image.shape
+    _, ho, wo, _ = grid.shape
+    ix = _unnormalize(grid[..., 0], w)
+    iy = _unnormalize(grid[..., 1], h)
+    x0, x1, fx = _corners(ix, w)
+    y0, y1, fy = _corners(iy, h)
+
+    flat = image.reshape(b, h * w, c)
+
+    def take(yi, xi):
+        idx = (yi * w + xi).reshape(b, ho * wo, 1)
+        return jnp.take_along_axis(flat, idx, axis=1).reshape(b, ho, wo, c)
+
+    v00 = take(y0, x0)
+    v01 = take(y0, x1)
+    v10 = take(y1, x0)
+    v11 = take(y1, x1)
+    fx = fx[..., None]
+    fy = fy[..., None]
+    top = v00 * (1.0 - fx) + v01 * fx
+    bot = v10 * (1.0 - fx) + v11 * fx
+    return top * (1.0 - fy) + bot * fy
+
+
+def _onehot_weights(ix, size):
+    """[..., size] rows holding the two bilinear taps for each sample."""
+    x0, x1, fx = _corners(ix, size)
+    pos = jnp.arange(size, dtype=jnp.int32)
+    shape = ix.shape + (size,)
+    pos = jnp.broadcast_to(pos, shape)
+    w0 = jnp.where(pos == x0[..., None], 1.0 - fx[..., None], 0.0)
+    # When x0 == x1 (border), fold the second tap into the same column.
+    w1 = jnp.where(pos == x1[..., None], fx[..., None], 0.0)
+    return w0 + w1
+
+
+def grid_sample_matmul(image: jnp.ndarray, grid: jnp.ndarray,
+                       row_block: int = 4) -> jnp.ndarray:
+    """MXU formulation: out[b,p,c] = sum_h wy[b,p,h] * (sum_w wx[b,p,w] I[b,h,w,c]).
+    Processes ``row_block`` output rows at a time so wx/wy stay small."""
+    b, h, w, c = image.shape
+    _, ho, wo, _ = grid.shape
+    assert ho % row_block == 0 or row_block >= ho, "row_block must divide Ho"
+    row_block = min(row_block, ho)
+    grid_blocks = grid.reshape(b, ho // row_block, row_block * wo, 2)
+    grid_blocks = jnp.moveaxis(grid_blocks, 1, 0)  # [nb, B, P, 2]
+
+    def one_block(gblk):
+        ix = _unnormalize(gblk[..., 0], w)
+        iy = _unnormalize(gblk[..., 1], h)
+        wx = _onehot_weights(ix, w)  # [B, P, W]
+        wy = _onehot_weights(iy, h)  # [B, P, H]
+        tmp = jnp.einsum("bpw,bhwc->bphc", wx, image,
+                         preferred_element_type=jnp.float32)
+        return jnp.einsum("bph,bphc->bpc", wy, tmp,
+                          preferred_element_type=jnp.float32)
+
+    out = jax.lax.map(one_block, grid_blocks)  # [nb, B, P, C]
+    out = jnp.moveaxis(out, 0, 1).reshape(b, ho, wo, c)
+    return out.astype(image.dtype)
