@@ -83,8 +83,9 @@ def grid_sample_matmul(image: jnp.ndarray, grid: jnp.ndarray,
     Processes ``row_block`` output rows at a time so wx/wy stay small."""
     b, h, w, c = image.shape
     _, ho, wo, _ = grid.shape
-    assert ho % row_block == 0 or row_block >= ho, "row_block must divide Ho"
     row_block = min(row_block, ho)
+    while ho % row_block:  # largest divisor of Ho not exceeding the request
+        row_block -= 1
     grid_blocks = grid.reshape(b, ho // row_block, row_block * wo, 2)
     grid_blocks = jnp.moveaxis(grid_blocks, 1, 0)  # [nb, B, P, 2]
 
