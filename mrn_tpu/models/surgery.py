@@ -1,0 +1,124 @@
+"""Functional parameter surgery: the reference mutates modules in place
+(update_fc row copies, weight_align rescale, DataParallel wrap churn;
+modules/model.py:150-199) — here every task-boundary change is an explicit
+pytree -> pytree transformation between jit regions.
+
+Includes the reference's global task-0 init pass
+(il_modules/base.py:52-65): kaiming-normal for every weight-like leaf, zeros
+for biases, ones for norm scales, skipping the TPS ``localization_fc2`` — with
+torch's fan-in conventions per layout.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["apply_reference_init", "grow_fc", "grow_fc_der", "weight_align",
+           "count_params"]
+
+# leaf names that are torch-layout [out, in]-style weights (fan_in = shape[1])
+_TORCH_LAYOUT_WEIGHTS = ("w_ih", "w_hh", "char_embeddings")
+
+
+def _kaiming_for(path_names, leaf):
+    name = path_names[-1]
+    if name == "kernel":
+        if leaf.ndim == 2:
+            fan_in = leaf.shape[0]
+        else:  # conv [kh, kw, in, out]
+            fan_in = leaf.shape[-2] * int(np.prod(leaf.shape[:-2]))
+    elif name in _TORCH_LAYOUT_WEIGHTS:
+        fan_in = leaf.shape[1]
+    else:
+        return None
+    return math.sqrt(2.0 / max(1, fan_in))
+
+
+def apply_reference_init(params, rng: jax.Array):
+    """Reference build_model init pass over a params pytree."""
+    flat = jax.tree_util.tree_flatten_with_path(params)
+    leaves_with_path, treedef = flat
+    keys = jax.random.split(rng, max(1, len(leaves_with_path)))
+
+    new_leaves = []
+    for (path, leaf), key in zip(leaves_with_path, keys):
+        names = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
+        if any("localization_fc2" in str(n) for n in names):
+            new_leaves.append(leaf)  # pre-initialized, skipped by the pass
+            continue
+        name = str(names[-1])
+        std = _kaiming_for([str(n) for n in names], leaf)
+        if std is not None:
+            new_leaves.append(std * jax.random.normal(key, leaf.shape, leaf.dtype))
+        elif name in ("bias", "b_ih", "b_hh"):
+            new_leaves.append(jnp.zeros_like(leaf))
+        elif name == "scale":
+            new_leaves.append(jnp.ones_like(leaf))
+        else:  # e.g. pos_embed: untouched by the reference pass
+            new_leaves.append(leaf)
+    return jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+
+def _get_path(tree, path: Tuple[str, ...]):
+    node = tree
+    for p in path:
+        node = node[p]
+    return node
+
+
+def _set_path(tree, path: Tuple[str, ...], value):
+    if not path:
+        return value
+    out = dict(tree)
+    out[path[0]] = _set_path(tree[path[0]], path[1:], value)
+    return out
+
+
+def grow_fc(new_params, old_params, path: Tuple[str, ...] = ("fc",)):
+    """Copy old fc rows into a freshly initialized larger fc
+    (reference Model.update_fc, modules/model.py:150-160).
+
+    flax Dense kernels are [in, out]: old output units are the leading
+    columns; bias leading entries."""
+    new_fc = dict(_get_path(new_params, path))
+    old_fc = _get_path(old_params, path)
+    old_out = old_fc["kernel"].shape[1]
+    new_fc["kernel"] = new_fc["kernel"].at[:, :old_out].set(old_fc["kernel"])
+    new_fc["bias"] = new_fc["bias"].at[:old_out].set(old_fc["bias"])
+    return _set_path(new_params, path, new_fc)
+
+
+def grow_fc_der(new_params, old_params, out_dim: int,
+                path: Tuple[str, ...] = ("fc",)):
+    """DER variant: the fc input dim also grew by out_dim; old weights occupy
+    the leading input columns and leading output rows
+    (reference DERNet.update_fc, modules/model.py:263-274)."""
+    new_fc = dict(_get_path(new_params, path))
+    old_fc = _get_path(old_params, path)
+    old_in = old_fc["kernel"].shape[0]
+    old_out = old_fc["kernel"].shape[1]
+    new_fc["kernel"] = new_fc["kernel"].at[:old_in, :old_out].set(old_fc["kernel"])
+    new_fc["bias"] = new_fc["bias"].at[:old_out].set(old_fc["bias"])
+    return _set_path(new_params, path, new_fc)
+
+
+def weight_align(params, increment: int, path: Tuple[str, ...] = ("fc",)):
+    """WA's gamma-rescale of new-class weights by mean-norm ratio
+    (reference: modules/model.py:166-174).  Norms are per output unit over the
+    input dim; bias untouched."""
+    fc = dict(_get_path(params, path))
+    kernel = fc["kernel"]  # [in, out]
+    new_norm = jnp.linalg.norm(kernel[:, -increment:], axis=0)
+    old_norm = jnp.linalg.norm(kernel[:, :-increment], axis=0)
+    gamma = old_norm.mean() / new_norm.mean()
+    fc["kernel"] = kernel.at[:, -increment:].multiply(gamma)
+    return _set_path(params, path, fc), float(gamma)
+
+
+def count_params(params) -> int:
+    return sum(int(np.prod(l.shape)) for l in jax.tree_util.tree_leaves(params))

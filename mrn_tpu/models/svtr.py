@@ -1,0 +1,219 @@
+"""SVTR single-visual-model backbone (reference: modules/svtr.py:315-532 with
+the configuration actually used by the configs: embed (64,128,256), depth
+(3,6,3), heads (2,4,8), mixers Local x6 then Global x6, Conv patch merging,
+out_channels = output_channel).
+
+TPU notes: every attention here is a tiny fixed-length (<=512 tokens)
+full-batch attention — it compiles to plain MXU matmuls, no KV caching or
+masked-gather machinery needed.  The local-window additive mask is a static
+numpy constant baked into the jaxpr.  Drop-path (stochastic depth, rate
+linspace(0, 0.1, 12)) uses the 'droppath' RNG stream when training.
+
+Init parity: the reference's SVTR applies its own init at construction
+(Linear trunc_normal(.02)/bias 0, Conv kaiming_normal fan_in, LayerNorm bias
+set to 1.0 — a reference quirk, svtr.py:489-498) which matters for experts
+created at task > 0; the global task-0 pass overrides it anyway.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mrn_tpu.models.common import batch_norm
+from mrn_tpu.utils.torch_init import zeros_init
+
+__all__ = ["SVTRExtractor"]
+
+_trunc02 = nn.initializers.truncated_normal(stddev=0.02, lower=-2.0, upper=2.0)
+
+
+def _kaiming_fan_in(key, shape, dtype=jnp.float32):
+    # torch kaiming_normal_(mode='fan_in') on conv kernels.
+    receptive = int(np.prod(shape[:-2])) if len(shape) > 2 else 1
+    fan_in = shape[-2] * receptive
+    std = float(np.sqrt(2.0 / max(1, fan_in)))
+    return std * jax.random.normal(key, shape, dtype)
+
+
+def _svtr_dense(features, use_bias=True, name=None):
+    return nn.Dense(features, use_bias=use_bias, kernel_init=_trunc02,
+                    bias_init=zeros_init, name=name)
+
+
+def _svtr_conv(features, kernel, strides=(1, 1), padding=(0, 0), name=None):
+    return nn.Conv(features, kernel, strides=strides,
+                   padding=[(padding[0], padding[0]), (padding[1], padding[1])],
+                   kernel_init=_kaiming_fan_in, bias_init=zeros_init, name=name)
+
+
+def _layer_norm(name=None):
+    # Reference quirk: LayerNorm bias initialized to 1.0 (svtr.py:494-496).
+    return nn.LayerNorm(epsilon=1e-6, bias_init=nn.initializers.ones, name=name)
+
+
+def local_attention_mask(h: int, w: int, hk: int = 7, wk: int = 11) -> np.ndarray:
+    """Static additive mask [HW, HW]: 0 within the hk x wk window around each
+    query position, -inf outside (reference: modules/svtr.py:116-128)."""
+    hw = h * w
+    mask = np.ones((hw, h + hk - 1, w + wk - 1), dtype=np.float32)
+    for i in range(h):
+        for j in range(w):
+            mask[i * w + j, i:i + hk, j:j + wk] = 0.0
+    cropped = mask[:, hk // 2:h + hk // 2, wk // 2:w + wk // 2].reshape(hw, hw)
+    return np.where(cropped < 1.0, 0.0, -np.inf).astype(np.float32)
+
+
+class DropPath(nn.Module):
+    rate: float
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        if self.rate == 0.0 or not train:
+            return x
+        keep = 1.0 - self.rate
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(self.make_rng("droppath"), keep, shape)
+        return x * mask.astype(x.dtype) / keep
+
+
+class MixAttention(nn.Module):
+    dim: int
+    num_heads: int
+    mixer: str  # 'Local' | 'Global'
+    hw: Tuple[int, int]
+    local_k: Tuple[int, int] = (7, 11)
+    qkv_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        b, n, c = x.shape
+        head_dim = self.dim // self.num_heads
+        scale = head_dim ** -0.5
+        qkv = _svtr_dense(self.dim * 3, use_bias=self.qkv_bias, name="qkv")(x)
+        qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
+        qkv = jnp.transpose(qkv, (2, 0, 3, 1, 4))
+        q, k, v = qkv[0] * scale, qkv[1], qkv[2]
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                          preferred_element_type=jnp.float32)
+        if self.mixer == "Local":
+            mask = local_attention_mask(self.hw[0], self.hw[1], *self.local_k)
+            attn = attn + jnp.asarray(mask)[None, None]
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v,
+                         preferred_element_type=jnp.float32)
+        out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, n, c)
+        return _svtr_dense(self.dim, name="proj")(out)
+
+
+class Mlp(nn.Module):
+    hidden: int
+    out: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.gelu(_svtr_dense(self.hidden, name="fc1")(x), approximate=False)
+        return _svtr_dense(self.out, name="fc2")(x)
+
+
+class Block(nn.Module):
+    dim: int
+    num_heads: int
+    mixer: str
+    hw: Tuple[int, int]
+    mlp_ratio: float = 4.0
+    drop_path: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        dp = DropPath(self.drop_path, name="drop_path")
+        h = MixAttention(self.dim, self.num_heads, self.mixer, self.hw,
+                         name="mixer")(_layer_norm(name="norm1")(x))
+        x = x + dp(h, train)
+        h = Mlp(int(self.dim * self.mlp_ratio), self.dim,
+                name="mlp")(_layer_norm(name="norm2")(x))
+        return x + dp(h, train)
+
+
+class PatchEmbed(nn.Module):
+    """Overlapping-conv /4 patch embedding (reference: svtr.py:211-254,
+    sub_num=2)."""
+
+    embed_dim: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = _svtr_conv(self.embed_dim // 2, (3, 3), strides=(2, 2), padding=(1, 1),
+                       name="conv1")(x)
+        x = nn.gelu(batch_norm(x, train, name="bn1"), approximate=False)
+        x = _svtr_conv(self.embed_dim, (3, 3), strides=(2, 2), padding=(1, 1),
+                       name="conv2")(x)
+        x = nn.gelu(batch_norm(x, train, name="bn2"), approximate=False)
+        b, h, w, c = x.shape
+        return x.reshape(b, h * w, c)
+
+
+class SubSampleConv(nn.Module):
+    """Conv patch merging, stride (2,1) + LayerNorm (reference: svtr.py:265-312,
+    types='Conv')."""
+
+    out_dim: int
+    hw: Tuple[int, int]
+
+    @nn.compact
+    def __call__(self, x):
+        b, n, c = x.shape
+        x = x.reshape(b, self.hw[0], self.hw[1], c)
+        x = _svtr_conv(self.out_dim, (3, 3), strides=(2, 1), padding=(1, 1),
+                       name="conv")(x)
+        b, h, w, _ = x.shape
+        x = x.reshape(b, h * w, self.out_dim)
+        return _layer_norm(name="norm")(x)
+
+
+class SVTRExtractor(nn.Module):
+    """Returns NHWC [B, 1, W/4, out_channels]."""
+
+    out_channels: int = 512
+    img_size: Tuple[int, int] = (32, 256)
+    embed_dim: Tuple[int, int, int] = (64, 128, 256)
+    depth: Tuple[int, int, int] = (3, 6, 3)
+    num_heads: Tuple[int, int, int] = (2, 4, 8)
+    drop_path_rate: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        h0, w0 = self.img_size[0] // 4, self.img_size[1] // 4
+        num_patches = h0 * w0
+        mixers = ["Local"] * 6 + ["Global"] * 6
+        dpr = np.linspace(0, self.drop_path_rate, sum(self.depth))
+
+        x = PatchEmbed(self.embed_dim[0], name="patch_embed")(x, train)
+        pos = self.param("pos_embed", _trunc02, (1, num_patches, self.embed_dim[0]))
+        x = x + pos
+
+        d0, d1, d2 = self.depth
+        for i in range(d0):
+            x = Block(self.embed_dim[0], self.num_heads[0], mixers[i], (h0, w0),
+                      drop_path=float(dpr[i]), name=f"blocks1_{i}")(x, train)
+        x = SubSampleConv(self.embed_dim[1], (h0, w0), name="sub_sample1")(x)
+
+        for i in range(d1):
+            x = Block(self.embed_dim[1], self.num_heads[1], mixers[d0 + i],
+                      (h0 // 2, w0), drop_path=float(dpr[d0 + i]),
+                      name=f"blocks2_{i}")(x, train)
+        x = SubSampleConv(self.embed_dim[2], (h0 // 2, w0), name="sub_sample2")(x)
+
+        for i in range(d2):
+            x = Block(self.embed_dim[2], self.num_heads[2], mixers[d0 + d1 + i],
+                      (h0 // 4, w0), drop_path=float(dpr[d0 + d1 + i]),
+                      name=f"blocks3_{i}")(x, train)
+        x = SubSampleConv(self.out_channels, (h0 // 4, w0), name="sub_sample3")(x)
+
+        b, n, c = x.shape  # n == w0 after the /8 height reduction
+        return x.reshape(b, 1, n, c)
