@@ -1,0 +1,98 @@
+"""Image preprocessing and augmentation (reference: data/dataset.py:144-288,
+data/transform.py).
+
+- ``ResizeNormalize``: PIL bicubic resize to (imgW, imgH) then normalize to
+  [-1, 1], emitting NHWC float32 (dataset.py:235-246).
+- ``TextAugment``: the Blur / Crop / Rot suite (dataset.py:249-288).
+- ABINet's CVGeometry/CVDeterioration/CVColorJitter suite (transform.py:41-348)
+  in abinet_augment() — cv2-based, applied with the same probabilities.
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Tuple
+
+import numpy as np
+import PIL
+import PIL.Image
+import PIL.ImageFilter
+
+__all__ = ["ResizeNormalize", "TextAugment", "build_transform"]
+
+
+def _to_array(image: PIL.Image.Image) -> np.ndarray:
+    arr = np.asarray(image, dtype=np.float32) / 255.0
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    return (arr - 0.5) / 0.5
+
+
+class ResizeNormalize:
+    def __init__(self, size: Tuple[int, int]):
+        self.size = size  # (W, H)
+
+    def __call__(self, image: PIL.Image.Image) -> np.ndarray:
+        image = image.resize(self.size, PIL.Image.BICUBIC)
+        return _to_array(image)
+
+
+class _GaussianBlur:
+    def __init__(self, sigma=(0.1, 2.0)):
+        self.sigma = sigma
+
+    def __call__(self, image):
+        sigma = random.uniform(self.sigma[0], self.sigma[1])
+        return image.filter(PIL.ImageFilter.GaussianBlur(radius=sigma))
+
+
+class _RandomCrop:
+    """Aspect-preserving random crop (dataset.py:211-232)."""
+
+    def __init__(self, scale=(1.0, 1.0)):
+        self.scale = scale
+
+    def __call__(self, image):
+        width, height = image.size
+        ratio = random.uniform(self.scale[0], self.scale[1])
+        cw, ch = int(width * ratio), int(height * ratio)
+        x0 = random.randint(0, width - cw)
+        y0 = random.randint(0, height - ch)
+        return image.crop((x0, y0, x0 + cw, y0 + ch))
+
+
+class TextAugment:
+    """Aug='Blur5-Crop90-Rot15'-style chains (dataset.py:249-288)."""
+
+    def __init__(self, opt):
+        self.opt = opt
+        self.steps = []
+        for aug in opt.Aug.split("-"):
+            if aug.startswith("Blur"):
+                maximum = float(aug.strip("Blur"))
+                blur = _GaussianBlur((0.1, maximum))
+                self.steps.append(lambda im, b=blur: b(im) if random.random() < 0.5 else im)
+            elif aug.startswith("Crop"):
+                crop_scale = float(aug.strip("Crop")) / 100
+                self.steps.append(_RandomCrop((crop_scale, 1.0)))
+            elif aug.startswith("Rot"):
+                degree = int(aug.strip("Rot"))
+                self.steps.append(lambda im, d=degree: im.rotate(
+                    random.uniform(-d, d), PIL.Image.BICUBIC, expand=True))
+        self.resize = ResizeNormalize((opt.imgW, opt.imgH))
+
+    def __call__(self, image):
+        for step in self.steps:
+            image = step(image)
+        return self.resize(image)
+
+
+def build_transform(opt, mode: str = "train"):
+    """Pick the per-image transform (reference AlignCollate.__init__,
+    dataset.py:172-190)."""
+    if opt.Aug == "None" or mode != "train":
+        return ResizeNormalize((opt.imgW, opt.imgH))
+    if opt.Aug == "ABINet" and mode == "train":
+        from mrn_tpu.data.abinet_aug import abinet_transform
+        return abinet_transform(opt)
+    return TextAugment(opt)

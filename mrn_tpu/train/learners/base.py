@@ -1,0 +1,393 @@
+"""BaseLearner: the sequential-finetuning IL strategy and the shared training
+lifecycle for all learners (reference: il_modules/base.py:26-467).
+
+Functional JAX redesign of the reference's in-place learner:
+- model (re)builds are pytree surgery between jit regions
+  (mrn_tpu.models.surgery), not module mutation;
+- the 10k-iteration hot loop runs ONE jitted train step (forward+backward+
+  clip+Adam+OneCycle) per iteration, with the batch sharded over the device
+  mesh when data_parallel > 1;
+- rehearsal-memory bookkeeping, validation, checkpointing and the MLT17/19
+  score aggregation match the reference's policies line for line.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mrn_tpu.codec import build_converter
+from mrn_tpu.models.composer import build_recognizer
+from mrn_tpu.models.surgery import apply_reference_init, count_params, grow_fc
+from mrn_tpu.parallel.mesh import shard_batch
+from mrn_tpu.train.checkpoint import best_model_path, load_model, save_model
+from mrn_tpu.train.evaluate import validation
+from mrn_tpu.train.optim import build_optimizer, build_schedule
+from mrn_tpu.train.steps import TrainState, make_train_step, recognition_loss
+from mrn_tpu.utils import Averager, ExperimentLog
+from mrn_tpu.ops.ctc import ctc_loss_per_sample
+from mrn_tpu.ops.losses import cross_entropy_ignore
+
+
+class BaseLearner:
+    def __init__(self, opt):
+        self._cur_task = -1
+        self._known_classes = 0
+        self._total_classes = 0
+        self.opt = opt
+        self.character = None
+        self.converter = None
+        self.memory_index: List[np.ndarray] = []
+        self.model = None
+        self.params = None
+        self.batch_stats = None
+        self.opt_state = None
+        self.tx = None
+        self._train_step = None
+        self._old_params = None      # frozen old-network snapshot (LwF/WA)
+        self._old_batch_stats = None
+        self.log = ExperimentLog(opt.exp_name, opt.get("output_dir", "./saved_models"),
+                                 opt.get("data_log", "./data_any.txt"),
+                                 echo=opt.get("echo_logs", False))
+        self.rng = jax.random.PRNGKey(opt.manual_seed)
+        self.np_rng = np.random.default_rng(opt.manual_seed)
+
+    # ------------------------------------------------------------------ setup
+
+    def _next_rng(self):
+        self.rng, sub = jax.random.split(self.rng)
+        return sub
+
+    def build_converter(self):
+        converter = build_converter(self.opt.Prediction, self.character)
+        self._total_classes = converter.num_classes
+        return converter
+
+    def _dummy_batch(self):
+        opt = self.opt
+        image = jnp.zeros((2, opt.imgH, opt.imgW, opt.input_channel), jnp.float32)
+        if opt.Prediction == "Attn":
+            text = jnp.zeros((2, opt.batch_max_length + 2), jnp.int32)
+        else:
+            text = None
+        return image, text
+
+    def _init_variables(self, model):
+        image, text = self._dummy_batch()
+        kwargs = {"text": text[:, :-1]} if text is not None else {}
+        return model.init({"params": self._next_rng(), "droppath": self._next_rng()},
+                          image, train=False, **kwargs)
+
+    def build_model(self):
+        """Task-0 model build + reference init pass (base.py:45-68)."""
+        self.model = build_recognizer(self.opt, self._total_classes)
+        variables = self._init_variables(self.model)
+        self.params = apply_reference_init(variables["params"], self._next_rng())
+        self.batch_stats = variables.get("batch_stats", {})
+
+    def change_model(self):
+        """Grow the classifier; keep extractor params/stats; prediction head
+        modules created fresh keep their construction init (base.py:139-149,
+        model.py:150-189)."""
+        old_params, old_stats = self.params, self.batch_stats
+        self.model = build_recognizer(self.opt, self._total_classes)
+        variables = self._init_variables(self.model)
+        new_params = variables["params"]
+        # carry over the extractor wholesale
+        new_params = dict(new_params)
+        new_params["extractor"] = old_params["extractor"]
+        new_params = grow_fc(new_params, old_params, path=("fc",))
+        # NOTE: the Attn decoder ('prediction') is re-initialized each task in
+        # the reference (build_prediction creates a new Attention); keep fresh.
+        self.params = new_params
+        self.batch_stats = old_stats
+        self.opt_state = None
+
+    def trainable_mask(self):
+        """True where trainable; base learner trains everything."""
+        return jax.tree_util.tree_map(lambda _: True, self.params)
+
+    def build_optimizer(self, scale: float = 1.0, the: int = 1):
+        schedule = build_schedule(self.opt, scale=scale, the=the)
+        self.tx = build_optimizer(self.opt, schedule, self.trainable_mask())
+        self.opt_state = self.tx.init(self.params)
+        self._train_step = None  # force rebuild against new tx
+
+    # ------------------------------------------------------------- loss/steps
+
+    def _apply_train(self, params, batch_stats, batch, rng):
+        """Returns (predict, new_batch_stats)."""
+        kwargs = {}
+        if self.opt.Prediction == "Attn":
+            kwargs["text"] = batch["label"][:, :-1]
+        out, mutated = self.model.apply(
+            {"params": params, "batch_stats": batch_stats}, batch["image"],
+            train=True, mutable=["batch_stats"], rngs={"droppath": rng}, **kwargs)
+        return out["predict"], mutated["batch_stats"]
+
+    def loss_fn(self, params, batch_stats, batch, rng):
+        rec = recognition_loss(self.opt.Prediction, self._pad_id())
+        preds, new_stats = self._apply_train(params, batch_stats, batch, rng)
+        loss = rec(preds, batch)
+        return loss, (new_stats, {})
+
+    def _pad_id(self):
+        return self.converter.pad_id
+
+    def get_train_step(self):
+        if self._train_step is None:
+            self._train_step = make_train_step(self.loss_fn, self.tx)
+        return self._train_step
+
+    def _encode_batch(self, images, labels):
+        labels_index, lengths = self.converter.encode(
+            labels, batch_max_length=self.opt.batch_max_length)
+        return {
+            "image": shard_batch(jnp.asarray(images)),
+            "label": jnp.asarray(labels_index),
+            "length": jnp.asarray(lengths),
+        }
+
+    # ------------------------------------------------------------------ train
+
+    def incremental_train(self, taski, character, train_loader, valid_loader):
+        """(reference: il_modules/base.py:156-204)"""
+        self._cur_task = taski
+        self.character = character
+        self.converter = self.build_converter()
+        valid = valid_loader.create_dataset()
+
+        if taski > 0:
+            self.change_model()
+        else:
+            self.build_model()
+        self.count_param()
+        self.build_optimizer()
+
+        if self.opt.start_task > taski:
+            if taski > 0:
+                if self.opt.memory is not None:
+                    self.build_rehearsal_memory(train_loader, taski)
+                else:
+                    train_loader.get_dataset(taski, memory=self.opt.memory)
+            self._load_best(taski)
+        else:
+            self.log.write(f"Task {taski} start training ------{self.opt.exp_name}------\n")
+            self._train(0, taski, train_loader, valid)
+
+    def _train(self, start_iter, taski, train_loader, valid_loader):
+        if taski == 0:
+            self._init_train(start_iter, taski, train_loader, valid_loader)
+        else:
+            if self.opt.memory is not None:
+                self.build_rehearsal_memory(train_loader, taski)
+            else:
+                train_loader.get_dataset(taski, memory=self.opt.memory)
+            self._update_representation(start_iter, taski, train_loader, valid_loader)
+
+    def _run_loop(self, start_iter, taski, train_loader, valid_loader,
+                  num_iter=None, get_batch=None, val_hook=None, step=None,
+                  val_interval=None):
+        """Shared hot loop (reference: base.py:217-273)."""
+        num_iter = num_iter or self.opt.num_iter
+        val_interval = val_interval or self.opt.val_interval
+        get_batch = get_batch or train_loader.get_batch
+        train_loss_avg = Averager()
+        start_time = time.time()
+        self.best_score = -1.0
+        state = TrainState(self.params, self.batch_stats, self.opt_state,
+                           jnp.asarray(0, jnp.int32))
+        train_step = self.get_train_step()
+
+        for iteration in range(start_iter + 1, num_iter + 1):
+            fetched = get_batch()
+            batch = self._encode_batch(fetched[0], fetched[1])
+            if len(fetched) > 2:
+                batch["dataset_idx"] = jnp.asarray(fetched[2])
+            state, metrics = train_step(state, batch, self._next_rng())
+            train_loss_avg.add(np.asarray(metrics["loss"]))
+
+            if iteration % val_interval == 0 or iteration == 1 or iteration == num_iter:
+                self.params, self.batch_stats, self.opt_state = \
+                    state.params, state.batch_stats, state.opt_state
+                if val_hook is not None:
+                    val_hook(valid_loader, iteration, train_loss_avg, start_time)
+                else:
+                    self.val(valid_loader, self.opt, self.best_score, start_time,
+                             iteration, train_loss_avg, taski, step=step)
+                train_loss_avg.reset()
+
+        self.params, self.batch_stats, self.opt_state = \
+            state.params, state.batch_stats, state.opt_state
+
+    def _init_train(self, start_iter, taski, train_loader, valid_loader):
+        self._run_loop(start_iter, taski, train_loader, valid_loader)
+
+    def _update_representation(self, start_iter, taski, train_loader, valid_loader):
+        self._init_train(start_iter, taski, train_loader, valid_loader)
+
+    # ------------------------------------------------------------ rehearsal
+
+    def build_rehearsal_memory(self, train_loader, taski):
+        """(reference: base.py:278-302)"""
+        memory_num = self.opt.memory_num
+        num_i = int(memory_num / taski)
+        self.build_random_current_memory(num_i, taski, train_loader)
+        if self.memory_index and len(self.memory_index) * len(self.memory_index[0]) > memory_num:
+            self.reduce_samplers(taski, taski_num=num_i)
+        train_loader.get_dataset(taski, memory=self.opt.memory,
+                                 index_list=self.memory_index)
+
+    def build_random_current_memory(self, taski_num, taski, train_loader):
+        _, len_data = train_loader.rehearsal_prev_model(taski)
+        index_list = self.np_rng.choice(range(len_data), taski_num, replace=False)
+        self.memory_index.append(index_list)
+
+    def reduce_samplers(self, taski, taski_num):
+        for i in range(taski):
+            self.memory_index[i] = self.memory_index[i][:taski_num]
+
+    # ------------------------------------------------------------------- eval
+
+    def make_eval_batch(self, val_choose: str = "val"):
+        """Jitted eval closure for the current model.  Params are passed as
+        arguments (not captured) so the compiled function stays valid as
+        training updates them."""
+        model = self.model
+        is_attn = self.opt.Prediction == "Attn"
+        pad_id = self._pad_id()
+        sos_id = getattr(self.converter, "sos_id", 0)
+
+        @jax.jit
+        def eval_fn(params, batch_stats, images, labels_index, lengths):
+            variables = {"params": params, "batch_stats": batch_stats}
+            if is_attn:
+                text = jnp.full((images.shape[0], 1), sos_id, jnp.int32)
+                out = model.apply(variables, images, text=text, train=False,
+                                  is_train=False)
+                logits = out["predict"]
+                target = labels_index[:, 1:]
+                lsum = cross_entropy_ignore(logits, target, pad_id) * jnp.sum(target != pad_id)
+                lcount = jnp.sum(target != pad_id)
+            else:
+                out = model.apply(variables, images, train=False)
+                logits = out["predict"]
+                per = ctc_loss_per_sample(logits, labels_index, lengths)
+                per = per / jnp.maximum(lengths, 1)
+                valid = lengths > 0
+                lsum = jnp.where(valid, jnp.where(jnp.isfinite(per), per, 0.0), 0.0).sum()
+                lcount = valid.sum()
+            probs = jax.nn.softmax(logits, axis=2)
+            return {
+                "preds_index": jnp.argmax(logits, 2).astype(jnp.int32),
+                "max_probs": jnp.max(probs, 2),
+                "loss_sum": lsum,
+                "loss_count": lcount,
+            }
+
+        def eval_batch(images, labels_index, lengths):
+            return eval_fn(self.params, self.batch_stats,
+                           shard_batch(jnp.asarray(images)),
+                           jnp.asarray(labels_index), jnp.asarray(lengths))
+
+        return eval_batch
+
+    def run_validation(self, valid_loader, val_choose: str = "val"):
+        return validation(self.make_eval_batch(val_choose), valid_loader,
+                          self.converter, self.opt,
+                          is_attn=self.opt.Prediction == "Attn")
+
+    def val(self, valid_loader, opt, best_score, start_time, iteration,
+            train_loss_avg, taski, step=None, val_choose="val"):
+        """(reference: base.py:304-361)"""
+        res = self.run_validation(valid_loader, val_choose)
+        if res.score > self.best_score:
+            self.best_score = res.score
+            self._save_best(taski, step=step)
+        elapsed = time.time() - start_time
+        line = (f"\n[{iteration}/{opt.num_iter}] Train_loss: {train_loss_avg.val():0.5f}, "
+                f"Valid_loss: {res.loss:0.5f}\n"
+                f"Current_score: {res.score:0.2f}, Ned_score: {res.ned or 0:0.2f}\n"
+                f"Best_score: {self.best_score:0.2f}\n"
+                f"Infer_time: {res.infer_time:0.2f}, Elapsed_time: {elapsed:0.2f}\n")
+        for gt, pred, conf in zip(res.labels[:5], res.preds[:5], res.confidences[:5]):
+            line += f"{gt:25s} | {pred:25s} | {conf:0.4f}\t{pred == gt}\n"
+        self.log.write(line)
+        return res
+
+    # --------------------------------------------------------- checkpointing
+
+    def _ckpt_step_tag(self):
+        return None  # MRN overrides with its 2-step tag
+
+    def _save_best(self, taski, step=None):
+        path = best_model_path(self.opt.get("output_dir", "./saved_models"),
+                               self.opt.exp_name, self.opt.lan_list[taski],
+                               taski, step)
+        save_model(path, self.params, self.batch_stats)
+
+    def _load_best(self, taski, step=None):
+        path = best_model_path(self.opt.get("output_dir", "./saved_models"),
+                               self.opt.exp_name, self.opt.lan_list[taski],
+                               taski, step)
+        payload = load_model(path, {"params": self.params,
+                                    "batch_stats": self.batch_stats})
+        self.params = payload["params"]
+        self.batch_stats = payload["batch_stats"]
+        self.log.write(f"Task {taski} load checkpoint from {path}.\n")
+
+    # -------------------------------------------------------------- task end
+
+    def after_task(self):
+        """Snapshot the old network (base.py:151-154)."""
+        self._old_params = jax.tree_util.tree_map(jnp.array, self.params)
+        self._old_batch_stats = jax.tree_util.tree_map(jnp.array, self.batch_stats)
+        self._known_classes = self._total_classes
+
+    def test(self, valid_datas, best_scores, ned_scores, taski,
+             val_dataset_builder=None, val_choose="test"):
+        """Evaluate all seen tasks; MLT17/19 interleaved split averaging
+        (reference: base.py:363-436)."""
+        self._load_best(taski, step=self._ckpt_step_tag())
+        task_accs, ned_accs = [], []
+        for val_data in valid_datas:
+            loader = val_dataset_builder(val_data)
+            res = self.run_validation(loader, val_choose)
+            task_accs.append(round(res.score, 2))
+            ned_accs.append(round(res.ned if res.ned is not None else 0.0, 2))
+
+        self.log.write_data_log(f"----------- {self.opt.exp_name} Task {taski}------------\n")
+        if (taski + 1) * 2 == len(task_accs):
+            score17, score19 = self.double_write(taski, task_accs)
+            best_scores.append(score17)
+            ned_scores.append(score19)
+            self.log.write(f"Task {taski} Avg Incremental Acc: 17: {score17} 19: {score19}\n")
+        else:
+            best_scores.append(round(sum(task_accs) / len(task_accs), 2))
+            ned_scores.append(round(sum(ned_accs) / len(ned_accs), 2))
+            self.log.write(f"Task {taski} Test AIA: {best_scores[taski]}\n"
+                           f"Task {taski} accs: {task_accs}\nned: {ned_accs}\n")
+            self.log.write_data_log(
+                f"{taski} Avg Acc: {best_scores[taski]:0.2f} \n  acc: {task_accs}\n")
+        return best_scores, ned_scores
+
+    def double_write(self, taski, accs):
+        """Interleaved MLT17/MLT19 averaging (base.py:425-436)."""
+        list17 = [accs[i * 2] for i in range(taski + 1)]
+        list19 = [accs[i * 2 + 1] for i in range(taski + 1)]
+        score17 = round(sum(list17) / len(list17), 2)
+        score19 = round(sum(list19) / len(list19), 2)
+        self.log.write_data_log(
+            f"Task{taski} : 2017: {score17:0.2f} 2019: {score19:0.2f}\n"
+            f"17 acc: {list17}\n19 acc: {list19}\n")
+        return score17, score19
+
+    def count_param(self):
+        n = count_params(self.params)
+        self.log.write(f"Total parameters: {n / 1e6:0.2f} M\n")
+        return n
