@@ -74,13 +74,22 @@ class AttentionDecoder(nn.Module):
             "char_embeddings", normal_init(1.0),
             (self.num_classes, self.num_char_embeddings))
 
-    def _cut_unknown(self, idx):
-        # clamp OOV ids (reference: prediction.py:35-36)
-        return jnp.where(idx >= self.num_classes, 0, idx)
+    def _cut_unknown(self, idx, class_count):
+        # clamp OOV ids (reference: prediction.py:35-36); class_count may be a
+        # traced per-expert vocabulary size (MRN expert stacking)
+        return jnp.where(idx >= class_count, 0, idx)
 
-    def __call__(self, batch_H, text: Optional[jnp.ndarray], is_train: bool = True):
+    def __call__(self, batch_H, text: Optional[jnp.ndarray], is_train: bool = True,
+                 class_count=None):
         """batch_H: [B, T, input_size]; text: [B, num_steps] int32 (train:
-        [SOS] + chars); returns [B, num_steps, num_classes]."""
+        [SOS] + chars); returns [B, num_steps, num_classes].
+
+        ``class_count``: effective vocabulary size of this decoder instance
+        (defaults to num_classes); OOV clamping and the greedy argmax are
+        restricted to it, so an expert padded to a larger class space behaves
+        exactly like its original-size self (MRN parity)."""
+        if class_count is None:
+            class_count = self.num_classes
         b = batch_H.shape[0]
         num_steps = self.batch_max_length + 1
         batch_H_proj = self.cell.i2h(batch_H)
@@ -95,7 +104,8 @@ class AttentionDecoder(nn.Module):
 
         if is_train:
             emb = jnp.take(self.char_embeddings,
-                           self._cut_unknown(text[:, :num_steps]), axis=0)
+                           self._cut_unknown(text[:, :num_steps], class_count),
+                           axis=0)
 
             def step(carry, emb_t):
                 h, c = carry
@@ -112,12 +122,17 @@ class AttentionDecoder(nn.Module):
         sos = text[:, 0] if text.ndim == 2 else text
         sos = jnp.broadcast_to(sos.reshape(-1)[:1], (b,)).astype(jnp.int32)
 
+        col = jnp.arange(self.num_classes)
+
         def step(carry, _):
             h, c, target = carry
-            emb_t = jnp.take(self.char_embeddings, self._cut_unknown(target), axis=0)
+            emb_t = jnp.take(self.char_embeddings,
+                             self._cut_unknown(target, class_count), axis=0)
             h, c = self.cell(h, c, batch_H, batch_H_proj, emb_t)
             probs_step = self.generator(h)
-            nxt = jnp.argmax(probs_step, axis=1).astype(jnp.int32)
+            # restrict the greedy pick to this decoder's true vocabulary
+            masked = jnp.where(col[None, :] < class_count, probs_step, -jnp.inf)
+            nxt = jnp.argmax(masked, axis=1).astype(jnp.int32)
             return (h, c, nxt), probs_step
 
         h0 = jnp.zeros((b, self.hidden_size), batch_H.dtype)

@@ -110,17 +110,19 @@ class Recognizer(nn.Module):
                 batch_max_length=self.batch_max_length, name="prediction")
 
     def __call__(self, image, text: Optional[jnp.ndarray] = None,
-                 train: bool = True, is_train: Optional[bool] = None):
+                 train: bool = True, is_train: Optional[bool] = None,
+                 class_count=None):
         """``train`` drives BN/dropout; ``is_train`` drives the decoder mode
         (teacher forcing vs greedy), defaulting to ``train`` — mirroring the
-        reference's separate is_train flag (model.py:133-148)."""
+        reference's separate is_train flag (model.py:133-148).  ``class_count``
+        restricts the decoder's effective vocabulary (MRN expert stacking)."""
         if is_train is None:
             is_train = train
         feature = self.extractor(image, train)
         if self.prediction == "CTC":
             predict = self.fc(feature)
         else:
-            predict = self.decoder(feature, text, is_train)
+            predict = self.decoder(feature, text, is_train, class_count)
         return {"predict": predict, "feature": feature}
 
     def features_only(self, image, train: bool = True):

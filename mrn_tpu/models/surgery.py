@@ -85,7 +85,7 @@ def grow_fc(new_params, old_params, path: Tuple[str, ...] = ("fc",)):
 
     flax Dense kernels are [in, out]: old output units are the leading
     columns; bias leading entries."""
-    new_fc = dict(_get_path(new_params, path))
+    new_fc = {k: jnp.asarray(v) for k, v in _get_path(new_params, path).items()}
     old_fc = _get_path(old_params, path)
     old_out = old_fc["kernel"].shape[1]
     new_fc["kernel"] = new_fc["kernel"].at[:, :old_out].set(old_fc["kernel"])
@@ -98,7 +98,7 @@ def grow_fc_der(new_params, old_params, out_dim: int,
     """DER variant: the fc input dim also grew by out_dim; old weights occupy
     the leading input columns and leading output rows
     (reference DERNet.update_fc, modules/model.py:263-274)."""
-    new_fc = dict(_get_path(new_params, path))
+    new_fc = {k: jnp.asarray(v) for k, v in _get_path(new_params, path).items()}
     old_fc = _get_path(old_params, path)
     old_in = old_fc["kernel"].shape[0]
     old_out = old_fc["kernel"].shape[1]
@@ -111,7 +111,7 @@ def weight_align(params, increment: int, path: Tuple[str, ...] = ("fc",)):
     """WA's gamma-rescale of new-class weights by mean-norm ratio
     (reference: modules/model.py:166-174).  Norms are per output unit over the
     input dim; bias untouched."""
-    fc = dict(_get_path(params, path))
+    fc = {k: jnp.asarray(v) for k, v in _get_path(params, path).items()}
     kernel = fc["kernel"]  # [in, out]
     new_norm = jnp.linalg.norm(kernel[:, -increment:], axis=0)
     old_norm = jnp.linalg.norm(kernel[:, :-increment], axis=0)

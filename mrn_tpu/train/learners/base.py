@@ -130,18 +130,27 @@ class BaseLearner:
             train=True, mutable=["batch_stats"], rngs={"droppath": rng}, **kwargs)
         return out["predict"], mutated["batch_stats"]
 
-    def loss_fn(self, params, batch_stats, batch, rng):
+    def loss_fn(self, params, batch_stats, batch, rng, aux):
         rec = recognition_loss(self.opt.Prediction, self._pad_id())
         preds, new_stats = self._apply_train(params, batch_stats, batch, rng)
         loss = rec(preds, batch)
         return loss, (new_stats, {})
 
+    def train_aux(self):
+        """Task-level device constants threaded into the jitted step."""
+        return None
+
     def _pad_id(self):
         return self.converter.pad_id
 
+    def grad_transform(self):
+        """Optional raw-grad post-processing (stacked-leaf freezing)."""
+        return None
+
     def get_train_step(self):
         if self._train_step is None:
-            self._train_step = make_train_step(self.loss_fn, self.tx)
+            self._train_step = make_train_step(self.loss_fn, self.tx,
+                                               grad_transform=self.grad_transform())
         return self._train_step
 
     def _encode_batch(self, images, labels):
@@ -203,13 +212,14 @@ class BaseLearner:
         state = TrainState(self.params, self.batch_stats, self.opt_state,
                            jnp.asarray(0, jnp.int32))
         train_step = self.get_train_step()
+        aux = self.train_aux()
 
         for iteration in range(start_iter + 1, num_iter + 1):
             fetched = get_batch()
             batch = self._encode_batch(fetched[0], fetched[1])
             if len(fetched) > 2:
                 batch["dataset_idx"] = jnp.asarray(fetched[2])
-            state, metrics = train_step(state, batch, self._next_rng())
+            state, metrics = train_step(state, batch, self._next_rng(), aux)
             train_loss_avg.add(np.asarray(metrics["loss"]))
 
             if iteration % val_interval == 0 or iteration == 1 or iteration == num_iter:
@@ -254,6 +264,17 @@ class BaseLearner:
 
     # ------------------------------------------------------------------- eval
 
+    def _eval_logits(self, variables, images, text, val_choose):
+        """Model forward for evaluation; learners override for dict-output
+        models (DER 'logits') and routing modes (MRN FF/TF;
+        reference: test.py:163-172, 192-201)."""
+        if text is not None:
+            out = self.model.apply(variables, images, text=text, train=False,
+                                   is_train=False)
+        else:
+            out = self.model.apply(variables, images, train=False)
+        return out["predict"] if "predict" in out else out["logits"]
+
     def make_eval_batch(self, val_choose: str = "val"):
         """Jitted eval closure for the current model.  Params are passed as
         arguments (not captured) so the compiled function stays valid as
@@ -268,15 +289,12 @@ class BaseLearner:
             variables = {"params": params, "batch_stats": batch_stats}
             if is_attn:
                 text = jnp.full((images.shape[0], 1), sos_id, jnp.int32)
-                out = model.apply(variables, images, text=text, train=False,
-                                  is_train=False)
-                logits = out["predict"]
+                logits = self._eval_logits(variables, images, text, val_choose)
                 target = labels_index[:, 1:]
                 lsum = cross_entropy_ignore(logits, target, pad_id) * jnp.sum(target != pad_id)
                 lcount = jnp.sum(target != pad_id)
             else:
-                out = model.apply(variables, images, train=False)
-                logits = out["predict"]
+                logits = self._eval_logits(variables, images, None, val_choose)
                 per = ctc_loss_per_sample(logits, labels_index, lengths)
                 per = per / jnp.maximum(lengths, 1)
                 valid = lengths > 0

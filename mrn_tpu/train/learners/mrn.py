@@ -1,0 +1,328 @@
+"""MRN learner — Multiplexed Routing Network (the paper's method;
+reference: il_modules/mrn.py:32-518).
+
+Two phases per task i > 0 (mrn.py:165-167):
+- step 0: train the NEW expert alone (cross=False) on current-task data —
+  functionally the base loop on a standalone Recognizer — then freeze it
+  (update_step1, mrn.py:281-287);
+- step 1: rebuild the router stack, stack ALL experts (vmapped ensemble,
+  models/mrn.py), and train the router only for num_iter/2 iterations on the
+  rehearsal-mixed stream whose batches carry the memory(0)/current(1) index;
+  loss = 15 * CTC/CE + CE(router_scores, index) (mrn.py:298-384), validation
+  in 'TF' hard-routing mode every val_interval/5.
+
+State layout: per-expert param/stat trees at their creation-time class counts
+(the stacked tree pads them to the current class space on the fly), plus the
+current task's router params.  Checkpoints serialize the whole composite.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mrn_tpu.models.composer import build_recognizer
+from mrn_tpu.models.mrn import (MRNNet, stack_expert_params,
+                                unstack_expert_stats)
+from mrn_tpu.models.surgery import apply_reference_init
+from mrn_tpu.ops.losses import cross_entropy_dense
+from mrn_tpu.train.checkpoint import best_model_path, load_model, save_model
+from mrn_tpu.train.learners.base import BaseLearner
+from mrn_tpu.train.steps import recognition_loss
+
+PI = 15.0  # recognition-loss weight in the router phase (mrn.py:298,360)
+
+
+class MRN(BaseLearner):
+
+    def __init__(self, opt):
+        super().__init__(opt)
+        self.expert_params: List = []
+        self.expert_stats: List = []
+        self.class_counts: List[int] = []
+        self.router_params = None
+        self.mrn_model = None   # MRNNet module for the current task
+        self._phase = "standalone"  # "standalone" | "routed"
+
+    # ------------------------------------------------------------- model mgmt
+
+    def build_model(self):
+        """Task 0: first expert with the reference kaiming pass (mrn.py:110-134)."""
+        self.model = build_recognizer(self.opt, self._total_classes)
+        variables = self._init_variables(self.model)
+        self.params = apply_reference_init(variables["params"], self._next_rng())
+        self.batch_stats = variables.get("batch_stats", {})
+        self._phase = "standalone"
+        self._build_mrn_module(n_experts=1)
+
+    def change_model(self):
+        """Task i>0: append a fresh expert (torch-default init, mrn.py:96-108)
+        and rebuild the router stack."""
+        self.model = build_recognizer(self.opt, self._total_classes)
+        variables = self._init_variables(self.model)
+        self.params = variables["params"]          # the NEW expert (random)
+        self.batch_stats = variables.get("batch_stats", {})
+        self._phase = "standalone"
+        self._build_mrn_module(n_experts=len(self.expert_params) + 1)
+        self.opt_state = None
+
+    def _build_mrn_module(self, n_experts):
+        opt = self.opt
+        counts = tuple(self.class_counts + [self._total_classes])
+        self.mrn_model = MRNNet(
+            n_experts=n_experts, num_classes=self._total_classes,
+            class_counts=counts, prediction=opt.Prediction,
+            transformation=opt.Transformation,
+            feature_extraction=opt.FeatureExtraction,
+            sequence_modeling=opt.SequenceModeling,
+            output_channel=opt.output_channel, hidden_size=opt.hidden_size,
+            num_fiducial=opt.num_fiducial, img_size=(opt.imgH, opt.imgW),
+            batch_max_length=opt.batch_max_length)
+
+    def _init_router_params(self):
+        """Fresh router stack per task (model.py:437-452): init the MRNNet and
+        keep only the router subtrees."""
+        image, text = self._dummy_batch()
+        kwargs = {"text": text[:, :-1]} if text is not None else {}
+        variables = self.mrn_model.init(
+            {"params": self._next_rng(), "droppath": self._next_rng()},
+            image, train=False, is_train=True, **kwargs)
+        params = dict(variables["params"])
+        return {k: params[k] for k in ("dm_router", "channel_route", "route")}
+
+    def _routed_variables(self, router_params):
+        """Assemble the full MRNNet variable tree from the frozen expert list
+        (step 0 already absorbed the newest expert via _freeze_newest)."""
+        stacked_params = stack_expert_params(self.expert_params,
+                                             self._total_classes,
+                                             self.opt.Prediction)
+        stacked_stats = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs, 0), *self.expert_stats) \
+            if self.expert_stats[0] else {}
+        params = dict(router_params)
+        params["experts"] = stacked_params
+        return params, ({"experts": stacked_stats}
+                        if self.expert_stats[0] else {})
+
+    # ------------------------------------------------------------------ train
+
+    def incremental_train(self, taski, character, train_loader, valid_loader):
+        """(reference: mrn.py:136-167)"""
+        self._cur_task = taski
+        self.character = character
+        self.converter = self.build_converter()
+        if taski > 0:
+            self.change_model()
+        else:
+            self.build_model()
+        self.count_param()
+        self.build_optimizer()
+
+        self._train_mrn(0, taski, train_loader, valid_loader, step=0)
+        if taski > 0:
+            self._train_mrn(0, taski, train_loader, valid_loader, step=1)
+
+    def _train_mrn(self, start_iter, taski, train_loader, valid_loader, step):
+        """(reference: mrn.py:185-223)"""
+        resume = self.opt.start_task > taski + step * 0.5
+        if resume:
+            if taski > 0 and step == 0:
+                train_loader.get_dataset(taski, memory=None)
+            elif taski > 0 and step == 1:
+                if self.opt.memory is not None:
+                    self.build_rehearsal_memory(train_loader, taski)
+                else:
+                    train_loader.get_dataset(taski, memory=self.opt.memory)
+            self._load_best(taski, step=step)
+            if step == 0 and taski > 0:
+                self._freeze_newest()
+            return
+
+        if taski == 0:
+            self._run_loop(start_iter, taski, train_loader,
+                           valid_loader.create_dataset(), step=0)
+        elif step == 0:
+            train_loader.get_dataset(taski, memory=None)
+            self._run_loop(start_iter, taski, train_loader,
+                           valid_loader.create_dataset(), step=0)
+            self._freeze_newest()
+        else:
+            if self.opt.memory is not None:
+                self.build_rehearsal_memory(train_loader, taski)
+            else:
+                train_loader.get_dataset(taski, memory=self.opt.memory)
+            self._update_router(start_iter, taski, train_loader,
+                                valid_loader.create_list_dataset())
+
+    def _freeze_newest(self):
+        """update_step1 tail: freeze + eval the newest expert (mrn.py:285-287).
+        The expert list absorbs the current standalone params."""
+        self.expert_params.append(self.params)
+        self.expert_stats.append(self.batch_stats)
+        self.class_counts.append(self._total_classes)
+
+    # ---- step-1: router training over the stacked ensemble -----------------
+
+    def build_rehearsal_memory(self, train_loader, taski):
+        """MRN variant (mrn.py:170-182): memory_num >= 5000 keeps full-size
+        per-task memories."""
+        memory_num = self.opt.memory_num
+        num_i = memory_num if memory_num >= 5000 else int(memory_num / taski)
+        self.build_random_current_memory(num_i, taski, train_loader)
+        if memory_num < 5000:
+            if self.memory_index and len(self.memory_index) * len(self.memory_index[0]) > memory_num:
+                self.reduce_samplers(taski, taski_num=num_i)
+        train_loader.get_dataset(taski, memory=self.opt.memory,
+                                 index_list=self.memory_index)
+
+    def _update_router(self, start_iter, taski, train_loader, valid_loader):
+        """(reference: mrn.py:298-384)"""
+        self._phase = "routed"
+        fresh_router = self._init_router_params()
+        params, stats = self._routed_variables(fresh_router)
+        self.params = params
+        self.batch_stats = stats
+        self.build_optimizer(scale=1.0, the=2)
+
+        n_iter = int(self.opt.num_iter // 2)
+        self._run_loop(start_iter, taski, train_loader, valid_loader,
+                       num_iter=n_iter, get_batch=train_loader.get_batch2,
+                       step=1, val_interval=max(1, self.opt.val_interval // 5))
+
+        # write back drifted expert batch stats; keep router params
+        if self.batch_stats:
+            per_expert = unstack_expert_stats(self.batch_stats["experts"],
+                                              len(self.expert_params))
+            self.expert_stats = per_expert
+        self.router_params = {k: self.params[k]
+                              for k in ("dm_router", "channel_route", "route")}
+
+    def trainable_mask(self):
+        if self._phase == "routed":
+            return jax.tree_util.tree_map(lambda _: True, self.params) | {
+                "experts": jax.tree_util.tree_map(lambda _: False,
+                                                  self.params["experts"])}
+        return super().trainable_mask()
+
+    def _apply_routed_train(self, params, batch_stats, batch, rng):
+        kwargs = {}
+        if self.opt.Prediction == "Attn":
+            kwargs["text"] = batch["label"][:, :-1]
+        out, mutated = self.mrn_model.apply(
+            {"params": params, "batch_stats": batch_stats}, batch["image"],
+            cross=True, train=True, is_train=True,
+            mutable=["batch_stats"], rngs={"droppath": rng}, **kwargs)
+        return out, mutated["batch_stats"]
+
+    def loss_fn(self, params, batch_stats, batch, rng, aux):
+        rec = recognition_loss(self.opt.Prediction, self._pad_id())
+        if self._phase != "routed":
+            preds, new_stats = self._apply_train(params, batch_stats, batch, rng)
+            return rec(preds, batch), (new_stats, {})
+        out, new_stats = self._apply_routed_train(params, batch_stats, batch, rng)
+        loss_clf = rec(out["logits"], batch)
+        # CE applied ON the softmaxed routing weights, exactly like the
+        # reference (taski_criterion(output['index'], indexs), mrn.py:342/360)
+        taski_loss = cross_entropy_dense(out["index"], batch["dataset_idx"])
+        loss = PI * loss_clf + taski_loss
+        return loss, (new_stats, {"clf": loss_clf, "router": taski_loss})
+
+    # ------------------------------------------------------------------- eval
+
+    def _eval_logits(self, variables, images, text, val_choose):
+        if val_choose in ("FF", "val") and self._phase == "standalone":
+            if text is not None:
+                out = self.model.apply(variables, images, text=text,
+                                       train=False, is_train=False)
+            else:
+                out = self.model.apply(variables, images, train=False)
+            return out["predict"]
+        # TF: hard-argmax expert pick (cross_forward_expert)
+        kwargs = {"text": text} if text is not None else {}
+        out = self.mrn_model.apply(variables, images, cross=True, train=False,
+                                   is_train=False, **kwargs)
+        return out["logits"]
+
+    def val(self, valid_loader, opt, best_score, start_time, iteration,
+            train_loss_avg, taski, step=None, val_choose=None):
+        if val_choose is None:
+            val_choose = "FF" if self._phase == "standalone" else "TF"
+        return super().val(valid_loader, opt, best_score, start_time, iteration,
+                           train_loss_avg, taski, step=step if step is not None
+                           else (0 if self._phase == "standalone" else 1),
+                           val_choose=val_choose)
+
+    def _ckpt_step_tag(self):
+        return 0 if self._cur_task == 0 else 1
+
+    # --------------------------------------------------------- checkpointing
+    # MRN checkpoints serialize the whole composite: current-phase params,
+    # the frozen expert list, stats and the router (the reference saves the
+    # whole MRNNet state dict, mrn.py:411-415).
+
+    def _save_best(self, taski, step=None):
+        path = best_model_path(self.opt.get("output_dir", "./saved_models"),
+                               self.opt.exp_name, self.opt.lan_list[taski],
+                               taski, step)
+        router = self.router_params or {}
+        if isinstance(self.params, dict) and "dm_router" in self.params:
+            router = {k: self.params[k]
+                      for k in ("dm_router", "channel_route", "route")}
+        save_model(path, self.params, self.batch_stats,
+                   extra={"experts": list(self.expert_params),
+                          "expert_stats": list(self.expert_stats),
+                          "router": router})
+
+    def _load_best(self, taski, step=None):
+        path = best_model_path(self.opt.get("output_dir", "./saved_models"),
+                               self.opt.exp_name, self.opt.lan_list[taski],
+                               taski, step)
+        payload = load_model(path)
+        self.params = payload["params"]
+        self.batch_stats = payload["batch_stats"]
+        self.expert_params = list(payload.get("experts", []))
+        self.expert_stats = list(payload.get("expert_stats", []))
+        self.router_params = payload.get("router") or None
+        self.log.write(f"Task {taski} load checkpoint from {path}.\n")
+
+    def test(self, valid_datas, best_scores, ned_scores, taski,
+             val_dataset_builder=None, val_choose=None):
+        """(reference: mrn.py:448-515): task 0 -> FF/step 0; else TF/step 1."""
+        if taski == 0:
+            self._phase = "standalone"
+            choose = "FF"
+        else:
+            self._phase = "routed"
+            choose = "TF"
+        return super().test(valid_datas, best_scores, ned_scores, taski,
+                            val_dataset_builder=val_dataset_builder,
+                            val_choose=choose)
+
+    def run_validation(self, valid_loader, val_choose="val"):
+        """In routed phase the eval variables are the assembled MRNNet tree."""
+        if self._phase == "routed" and val_choose in ("TF", "test", "val"):
+            params, stats = self._routed_params_for_eval()
+            saved = (self.params, self.batch_stats)
+            try:
+                self.params, self.batch_stats = params, stats
+                return super().run_validation(valid_loader, "TF")
+            finally:
+                self.params, self.batch_stats = saved
+        return super().run_validation(valid_loader, val_choose)
+
+    def _routed_params_for_eval(self):
+        if isinstance(self.params, dict) and "experts" in self.params:
+            return self.params, self.batch_stats
+        return self._routed_variables(self.router_params)
+
+    def after_task(self):
+        """(reference: mrn.py:38-43).  At task 0 the (checkpoint-reloaded)
+        first expert enters the frozen expert list — the analogue of the
+        reference's expert living inside MRNNet.model from build_fc on."""
+        if self._cur_task == 0 and not self.expert_params:
+            self._freeze_newest()
+        self._known_classes = self._total_classes

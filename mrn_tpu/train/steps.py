@@ -50,14 +50,22 @@ def recognition_loss(prediction: str, pad_id: int):
 
 
 def make_train_step(loss_fn: Callable, tx: optax.GradientTransformation,
-                    donate: bool = True):
-    """loss_fn(params, batch_stats, batch, rng) ->
+                    donate: bool = True, grad_transform: Optional[Callable] = None):
+    """loss_fn(params, batch_stats, batch, rng, aux) ->
        (loss, (new_batch_stats, metrics_dict)).
-    Returns jitted step(state, batch, rng) -> (state, metrics)."""
+    ``aux`` carries task-level constants that change between tasks but not
+    between steps (old-network snapshot for LwF/WA, Fisher+mean for EWC) as
+    real arguments so they are device-resident, not baked into the program.
+    ``grad_transform`` post-processes raw grads (e.g. zeroing frozen expert
+    slices inside stacked leaves, where leaf-level optax masks can't reach).
+    Returns jitted step(state, batch, rng, aux) -> (state, metrics)."""
 
-    def step(state: TrainState, batch, rng):
+    def step(state: TrainState, batch, rng, aux):
         (loss, (new_stats, metrics)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, state.batch_stats, batch, rng)
+            loss_fn, has_aux=True)(state.params, state.batch_stats, batch, rng,
+                                   aux)
+        if grad_transform is not None:
+            grads = grad_transform(grads)
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         metrics = dict(metrics)

@@ -1,0 +1,113 @@
+import numpy as np
+import pytest
+
+from mrn_tpu.data.manager import ValDataset
+
+from helpers import make_manager, make_source, make_val, run_tasks, tiny_opt
+
+
+def _run(learner_cls, opt, tmp_path, n_tasks=2):
+    source = make_source(opt)
+    learner = learner_cls(opt)
+    best, ned = run_tasks(learner, opt, source, n_tasks, tmp_path)
+    assert len(best) == n_tasks
+    for b in best:
+        assert 0.0 <= b <= 100.0
+    return learner, best
+
+
+def test_lwf(tmp_path):
+    from mrn_tpu.train.learners.lwf import LwF
+    opt = tiny_opt(il="lwf", num_iter=4, val_interval=2, lan_list=["T0", "T1"],
+                   output_dir=str(tmp_path / "s"), data_log=str(tmp_path / "d.txt"))
+    learner, _ = _run(LwF, opt, tmp_path)
+    assert learner._old_params is not None
+
+
+def test_wa_aligns_weights(tmp_path):
+    from mrn_tpu.train.learners.wa import WA
+    opt = tiny_opt(il="wa", num_iter=4, val_interval=2, lan_list=["T0", "T1"],
+                   output_dir=str(tmp_path / "s"), data_log=str(tmp_path / "d.txt"))
+    learner, _ = _run(WA, opt, tmp_path)
+    assert learner.taski == 1
+
+
+def test_ewc_builds_fisher(tmp_path):
+    from mrn_tpu.train.learners.ewc import EWC
+    opt = tiny_opt(il="ewc", num_iter=4, val_interval=2, lan_list=["T0", "T1"],
+                   fisher_num_iter=2,
+                   output_dir=str(tmp_path / "s"), data_log=str(tmp_path / "d.txt"))
+    learner, _ = _run(EWC, opt, tmp_path)
+    assert learner.fisher is not None
+    import jax
+    # fisher clamped at 1e-4
+    for leaf in jax.tree_util.tree_leaves(learner.fisher):
+        assert float(np.max(np.asarray(leaf))) <= 1e-4 + 1e-9
+
+
+def test_der_expands_and_freezes(tmp_path):
+    from mrn_tpu.train.learners.der import DER
+    opt = tiny_opt(il="der", memory="random", num_iter=4, val_interval=2,
+                   lan_list=["T0", "T1"],
+                   output_dir=str(tmp_path / "s"), data_log=str(tmp_path / "d.txt"))
+    source = make_source(opt)
+    learner = DER(opt)
+
+    frozen_snapshots = {}
+    orig_update = learner._update_representation
+
+    def spy(start_iter, taski, train_loader, valid_loader):
+        frozen_snapshots["before"] = np.asarray(
+            learner.params["extractors"]["seq0"]["linear"]["kernel"][0]).copy()
+        orig_update(start_iter, taski, train_loader, valid_loader)
+        frozen_snapshots["after"] = np.asarray(
+            learner.params["extractors"]["seq0"]["linear"]["kernel"][0]).copy()
+
+    learner._update_representation = spy
+    best, _ = run_tasks(learner, opt, source, 2, tmp_path)
+    assert learner.n_experts == 2
+    # first (frozen) extractor unchanged through task-1 training
+    np.testing.assert_array_equal(frozen_snapshots["before"],
+                                  frozen_snapshots["after"])
+
+
+def test_mrn_two_tasks(tmp_path):
+    from mrn_tpu.train.learners.mrn import MRN
+    opt = tiny_opt(il="mrn", memory="random", memory_num=8, num_iter=4,
+                   val_interval=2, lan_list=["T0", "T1"],
+                   output_dir=str(tmp_path / "s"), data_log=str(tmp_path / "d.txt"))
+    source = make_source(opt)
+    learner = MRN(opt)
+    best, _ = run_tasks(learner, opt, source, 2, tmp_path)
+    assert len(learner.expert_params) == 2
+    assert learner.class_counts[0] < learner.class_counts[1]
+    assert learner.router_params is not None
+    # step-tagged checkpoints exist
+    exp_dir = tmp_path / "s" / opt.exp_name
+    assert (exp_dir / "T0_0_0_best_score.msgpack").exists()
+    assert (exp_dir / "T1_1_0_best_score.msgpack").exists()
+    assert (exp_dir / "T1_1_1_best_score.msgpack").exists()
+
+
+def test_joint_mix(tmp_path):
+    from mrn_tpu.train.learners.joint import JointLearner
+    opt = tiny_opt(il="joint_mix", num_iter=4, val_interval=2,
+                   lan_list=["T0", "T1"],
+                   output_dir=str(tmp_path / "s"), data_log=str(tmp_path / "d.txt"))
+    source = make_source(opt)
+    learner = JointLearner(opt)
+    manager = make_manager(opt, source)
+    for taski in range(2):
+        manager.joint_start(opt, opt.select_data, None, taski, 2)
+    valid_datas = [f"synth_test/{l}" for l in opt.lan_list]
+    val_ds = ValDataset(valid_datas, opt, dataset_factory=source.val_factory)
+    character = source.cumulative_character(1)
+
+    def builder(vd):
+        return ValDataset([vd], opt,
+                          dataset_factory=source.val_factory).create_dataset()
+
+    best, ned = learner.incremental_train(0, character, manager, val_ds,
+                                          valid_datas=valid_datas,
+                                          val_dataset_builder=builder)
+    assert len(best) >= 1  # per-interval all-task evaluations happened
