@@ -1,0 +1,80 @@
+"""Headline benchmark: SVTR inference throughput (32x256 crops/sec/chip).
+
+Target (BASELINE.md north star): >= 10,000 crops/sec/chip on TPU v5e.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Runs the flagship SVTR recognizer (None+SVTR+None+CTC, output_channel 512,
+~4.5k-class head) in bfloat16 eval mode, sweeping batch sizes and reporting
+the best steady-state throughput.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mrn_tpu.config import default_options
+from mrn_tpu.models.composer import build_recognizer
+
+BASELINE_CROPS_PER_SEC = 10000.0
+NUM_CLASSES = 4500
+
+
+def build(batch_size: int, dtype=jnp.bfloat16):
+    opt = default_options(Transformation="None", FeatureExtraction="SVTR",
+                          SequenceModeling="None", Prediction="CTC")
+    model = build_recognizer(opt, NUM_CLASSES)
+    rng = jax.random.PRNGKey(0)
+    image = jnp.zeros((batch_size, opt.imgH, opt.imgW, opt.input_channel),
+                      jnp.float32)
+    variables = model.init({"params": rng, "droppath": rng}, image, train=False)
+    variables = jax.tree_util.tree_map(
+        lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        variables)
+
+    @jax.jit
+    def infer(image):
+        out = model.apply(variables, image.astype(dtype), train=False)
+        return jnp.argmax(out["predict"], axis=2).astype(jnp.int32)
+
+    return infer, image
+
+
+def measure(batch_size: int, warmup: int = 3, iters: int = 20) -> float:
+    infer, image = build(batch_size)
+    image = jax.device_put(image)
+    for _ in range(warmup):
+        jax.block_until_ready(infer(image))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = infer(image)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    return batch_size * iters / dt
+
+
+def main():
+    best = 0.0
+    best_bs = 0
+    for bs in (256, 512, 1024):
+        try:
+            tput = measure(bs)
+        except Exception as e:  # OOM etc.
+            print(f"# batch {bs} failed: {e}", file=sys.stderr)
+            continue
+        print(f"# batch {bs}: {tput:,.0f} crops/s", file=sys.stderr)
+        if tput > best:
+            best, best_bs = tput, bs
+    print(json.dumps({
+        "metric": f"svtr_infer_crops_per_sec_bs{best_bs}",
+        "value": round(best, 1),
+        "unit": "crops/s",
+        "vs_baseline": round(best / BASELINE_CROPS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
