@@ -32,6 +32,30 @@ __all__ = ["SVTRExtractor"]
 
 _trunc02 = nn.initializers.truncated_normal(stddev=0.02, lower=-2.0, upper=2.0)
 
+# Attention implementation: "xla" (einsum) or "pallas" (VMEM-resident kernel,
+# mrn_tpu.ops.svtr_attention — the attention matrix never touches HBM).
+# "auto" picks pallas on TPU backends.
+_ATTENTION_IMPL = "auto"
+
+
+def set_attention_impl(impl: str):
+    global _ATTENTION_IMPL
+    assert impl in ("auto", "xla", "pallas")
+    _ATTENTION_IMPL = impl
+
+
+def _attention_core(q, k, v, mask):
+    from mrn_tpu.ops.svtr_attention import mha_small_n, xla_attention
+
+    impl = _ATTENTION_IMPL
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas":
+        return mha_small_n(q, k, v, mask)
+    if mask is not None:
+        mask = jnp.asarray(mask)
+    return xla_attention(q, k, v, mask)
+
 
 def _kaiming_fan_in(key, shape, dtype=jnp.float32):
     # torch kaiming_normal_(mode='fan_in') on conv kernels.
@@ -99,14 +123,11 @@ class MixAttention(nn.Module):
         qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
         qkv = jnp.transpose(qkv, (2, 0, 3, 1, 4))
         q, k, v = qkv[0] * scale, qkv[1], qkv[2]
-        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k,
-                          preferred_element_type=jnp.float32)
+        mask = None
         if self.mixer == "Local":
             mask = local_attention_mask(self.hw[0], self.hw[1], *self.local_k)
-            attn = attn + jnp.asarray(mask)[None, None]
-        attn = jax.nn.softmax(attn, axis=-1)
-        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v,
-                         preferred_element_type=jnp.float32)
+
+        out = _attention_core(q, k, v, mask)   # [B, h, N, d]
         out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, n, c)
         return _svtr_dense(self.dim, name="proj")(out)
 

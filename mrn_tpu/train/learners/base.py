@@ -30,6 +30,7 @@ from mrn_tpu.train.evaluate import validation
 from mrn_tpu.train.optim import build_optimizer, build_schedule
 from mrn_tpu.train.steps import TrainState, make_train_step, recognition_loss
 from mrn_tpu.utils import Averager, ExperimentLog
+from mrn_tpu.utils.profiling import StepMeter
 from mrn_tpu.ops.ctc import ctc_loss_per_sample
 from mrn_tpu.ops.losses import cross_entropy_ignore
 
@@ -213,6 +214,7 @@ class BaseLearner:
                            jnp.asarray(0, jnp.int32))
         train_step = self.get_train_step()
         aux = self.train_aux()
+        meter = StepMeter()
 
         for iteration in range(start_iter + 1, num_iter + 1):
             fetched = get_batch()
@@ -221,8 +223,11 @@ class BaseLearner:
                 batch["dataset_idx"] = jnp.asarray(fetched[2])
             state, metrics = train_step(state, batch, self._next_rng(), aux)
             train_loss_avg.add(np.asarray(metrics["loss"]))
+            meter.tick(len(fetched[1]))
 
             if iteration % val_interval == 0 or iteration == 1 or iteration == num_iter:
+                self.log.write(f"[{iteration}/{num_iter}] {meter.report()}\n")
+                meter.reset()
                 self.params, self.batch_stats, self.opt_state = \
                     state.params, state.batch_stats, state.opt_state
                 if val_hook is not None:

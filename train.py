@@ -94,6 +94,8 @@ def main():
                         help="reference-format python config file")
     parser.add_argument("--data_parallel", type=int, default=None,
                         help="shard the batch over this many devices")
+    parser.add_argument("--profile", default=None,
+                        help="capture a jax.profiler trace to this directory")
     args = parser.parse_args()
 
     opt = load_config(args.config)
@@ -106,7 +108,12 @@ def main():
     log = ExperimentLog(opt.exp_name, opt.get("output_dir", "./saved_models"),
                         opt.get("data_log", "./data_any.txt"), echo=True)
     log.write_data_log(f"----------- {opt.exp_name} ------------\n")
-    train(opt, log)
+    if args.profile:
+        from mrn_tpu.utils.profiling import trace
+        with trace(args.profile):
+            train(opt, log)
+    else:
+        train(opt, log)
 
 
 if __name__ == "__main__":
