@@ -155,14 +155,29 @@ class DatasetManager:
         dataset = self.create_dataset(data_list=self.select_data, taski=taski)
 
         if memory is not None and self.opt.il == "mrn":
-            # one mixed stream tagged memory(0)/current(1) (data_manage.py:23-29)
             index_current = self.rng.choice(len(dataset),
                                             int(memory_num / taski), replace=False)
             split_dataset = Subset(dataset, index_current.tolist())
-            memory_data, index_list = self.rehearsal_memory(
-                taski, total_num=memory_num, index_array=index_list)
-            self._add_loader(IndexConcatDataset([memory_data, split_dataset]),
-                             self.opt.batch_size, with_index=True)
+            if self.opt.get("router_labels", "reference") == "task":
+                # extension: true per-task expert labels — flat list of
+                # per-task subsets so dataset_idx == task id
+                num_i = int(memory_num / taski)
+                parts = []
+                for i in range(taski):
+                    ds_i = self.create_dataset(data_list=self.select_data,
+                                               taski=i, repeat=False)
+                    parts.append(Subset(ds_i, list(index_list[i])))
+                parts.append(split_dataset)
+                self._add_loader(IndexConcatDataset(parts),
+                                 self.opt.batch_size, with_index=True)
+            else:
+                # reference behaviour: one mixed stream tagged
+                # memory(0)/current(1) (data_manage.py:23-29 — the rehearsal
+                # ConcatDataset nests as ONE IndexConcatDataset element)
+                memory_data, index_list = self.rehearsal_memory(
+                    taski, total_num=memory_num, index_array=index_list)
+                self._add_loader(IndexConcatDataset([memory_data, split_dataset]),
+                                 self.opt.batch_size, with_index=True)
         elif memory is not None:
             # two half-batch loaders (data_manage.py:55-58)
             memory_data, index_list = self.rehearsal_memory(
