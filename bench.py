@@ -56,6 +56,40 @@ def measure(batch_size: int, warmup: int = 3, iters: int = 20) -> float:
     return batch_size * iters / dt
 
 
+def _secondary_arch(name, overrides, batch_size=256):
+    """Secondary (stderr) numbers: CRNN / TRBA inference throughput."""
+    import jax
+    opt = default_options(**overrides)
+    model = build_recognizer(opt, NUM_CLASSES)
+    rng = jax.random.PRNGKey(0)
+    image = jnp.zeros((batch_size, opt.imgH, opt.imgW, opt.input_channel),
+                      jnp.float32)
+    kw = {}
+    if opt.Prediction == "Attn":
+        kw["text"] = jnp.zeros((batch_size, 1), jnp.int32)
+    variables = model.init({"params": rng, "droppath": rng}, image,
+                           train=False, **kw)
+    variables = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x, variables)
+
+    @jax.jit
+    def infer(image):
+        out = model.apply(variables, image.astype(jnp.bfloat16), train=False,
+                          is_train=False, **kw)
+        return jnp.argmax(out["predict"], axis=2).astype(jnp.int32)
+
+    image = jax.device_put(image)
+    for _ in range(3):
+        jax.block_until_ready(infer(image))
+    t0 = time.perf_counter()
+    for _ in range(10):
+        out = infer(image)
+    jax.block_until_ready(out)
+    tput = batch_size * 10 / (time.perf_counter() - t0)
+    print(f"# {name} infer bs{batch_size}: {tput:,.0f} crops/s", file=sys.stderr)
+
+
 def main():
     best = 0.0
     best_bs = 0
@@ -68,6 +102,17 @@ def main():
         print(f"# batch {bs}: {tput:,.0f} crops/s", file=sys.stderr)
         if tput > best:
             best, best_bs = tput, bs
+    try:
+        _secondary_arch("CRNN", dict(Transformation="None",
+                                     FeatureExtraction="VGG",
+                                     SequenceModeling="BiLSTM",
+                                     Prediction="CTC"))
+        _secondary_arch("TRBA", dict(Transformation="TPS",
+                                     FeatureExtraction="ResNet",
+                                     SequenceModeling="BiLSTM",
+                                     Prediction="Attn"))
+    except Exception as e:
+        print(f"# secondary benches failed: {e}", file=sys.stderr)
     print(json.dumps({
         "metric": f"svtr_infer_crops_per_sec_bs{best_bs}",
         "value": round(best, 1),

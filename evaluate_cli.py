@@ -69,6 +69,10 @@ def main():
                 e["fc"]["kernel"].shape[1] for e in learner.expert_params]
             learner._build_mrn_module(len(learner.expert_params))
 
+    from mrn_tpu.models.surgery import count_params
+    n_params = count_params(learner.params)
+    print(f"# parameters: {n_params / 1e6:.2f} M")
+
     scores, neds = [], []
     for root in args.eval_data:
         for taski in range(last_task + 1):

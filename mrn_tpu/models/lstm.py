@@ -50,9 +50,10 @@ class _DirectionalLSTM(nn.Module):
 
         if self.reverse:
             x = jnp.flip(x, axis=1)
-        # One MXU matmul for all timesteps' input projections.
-        gates_x = jnp.einsum("bti,gi->btg", x, w_ih,
-                             preferred_element_type=jnp.float32) + b_ih + b_hh
+        # One MXU matmul for all timesteps' input projections (accumulates in
+        # f32 on the MXU; output keeps the input dtype so the scan carry dtype
+        # is stable under bf16 inference).
+        gates_x = jnp.einsum("bti,gi->btg", x, w_ih) + b_ih + b_hh
 
         def step(carry, gx):
             hh, cc = carry

@@ -36,47 +36,71 @@ def xla_attention(q, k, v, mask=None):
     return jnp.einsum("bhnm,bhmd->bhnd", attn, v)
 
 
-def _attn_kernel_masked(q_ref, k_ref, v_ref, mask_ref, o_ref):
-    q = q_ref[0]
-    s = jax.lax.dot_general(q, k_ref[0], (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    s = s + mask_ref[...]
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)
-    o = jnp.dot(p.astype(v_ref.dtype), v_ref[0],
-                preferred_element_type=jnp.float32)
-    o_ref[0] = o.astype(o_ref.dtype)
+def _make_kernel(group: int):
+    """Kernel processing `group` (batch, head) pairs per program — coarse
+    grids amortize per-program overhead on short sequences.  A fori_loop (not
+    an unrolled Python loop) keeps exactly ONE [N, N] score tile live in
+    VMEM."""
+
+    def kernel(q_ref, k_ref, v_ref, mask_ref, o_ref):
+        mask = mask_ref[...][None]
+
+        def body(g, carry):
+            q = q_ref[pl.ds(g, 1), :, :]
+            k = k_ref[pl.ds(g, 1), :, :]
+            v = v_ref[pl.ds(g, 1), :, :]
+            s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
+                                    preferred_element_type=jnp.float32)
+            s = s + mask
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            o = jax.lax.dot_general(p.astype(v.dtype), v,
+                                    (((2,), (1,)), ((0,), (0,))),
+                                    preferred_element_type=jnp.float32)
+            o_ref[pl.ds(g, 1), :, :] = o.astype(o_ref.dtype)
+            return carry
+
+        jax.lax.fori_loop(0, group, body, 0)
+
+    return kernel
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref):
-    q = q_ref[0]
-    s = jax.lax.dot_general(q, k_ref[0], (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)
-    o = jnp.dot(p.astype(v_ref.dtype), v_ref[0],
-                preferred_element_type=jnp.float32)
-    o_ref[0] = o.astype(o_ref.dtype)
+def _pick_group(bh, n, d, itemsize):
+    """Largest group whose double-buffered q/k/v/out blocks + score tiles fit
+    a conservative VMEM budget (the Mosaic scoped limit is 16MB/program)."""
+    budget = 8 * 1024 * 1024
+    per_g = n * d * itemsize * 4 * 2  # q,k,v,out double-buffered
+    fixed = 3 * n * n * 4             # mask + live f32 score/prob tiles
+    group = max(1, (budget - fixed) // per_g)
+    group = min(group, 8, bh)
+    while bh % group:
+        group -= 1
+    return group
 
 
-def _mha_forward(q, k, v, mask, interpret=False):
+def _mha_forward(q, k, v, mask, interpret=False, group=None):
     b, h, n, d = q.shape
     bh = b * h
+    if group is None:
+        group = _pick_group(bh, n, d, q.dtype.itemsize)
+    while bh % group:
+        group //= 2
     qf = q.reshape(bh, n, d)
     kf = k.reshape(bh, n, d)
     vf = v.reshape(bh, n, d)
-    spec = pl.BlockSpec((1, n, d), lambda i: (i, 0, 0),
+    spec = pl.BlockSpec((group, n, d), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        _attn_kernel_masked,
-        grid=(bh,),
+        _make_kernel(group),
+        grid=(bh // group,),
         in_specs=[spec, spec, spec,
                   pl.BlockSpec((n, n), lambda i: (0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((bh, n, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(qf, kf, vf, mask.astype(jnp.float32))
     return out.reshape(b, h, n, d)
