@@ -1,0 +1,69 @@
+"""Full-stack integration: synthetic crops -> native LMDB datasets on disk
+(reference directory layout: <root>/<language>/{data.mdb,dict.txt}) ->
+train.py task loop -> checkpoints + data_any.txt + final AIA."""
+
+import io
+import os
+import sys
+
+import numpy as np
+import PIL.Image
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from mrn_tpu.config import default_options
+from mrn_tpu.data.lmdb_store import LmdbWriter
+from mrn_tpu.data.synthetic import make_task_dataset
+from mrn_tpu.tools.create_lmdb import write_dict_txt
+from mrn_tpu.utils.logging import ExperimentLog
+
+
+def _build_lmdb_tree(root, lan, alphabet, n, seed, img_w):
+    """Write <root>/<lan>/ as an LMDB dir + dict.txt."""
+    path = os.path.join(root, lan)
+    os.makedirs(path, exist_ok=True)
+    ds = make_task_dataset(alphabet, n, img_w=img_w, seed=seed)
+    w = LmdbWriter(path, map_size=1 << 24)
+    w.put(b"num-samples", str(n).encode())
+    lexicon = set()
+    for i in range(n):
+        img, label = ds[i]
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        w.put(b"image-%09d" % (i + 1), buf.getvalue())
+        w.put(b"label-%09d" % (i + 1), label.encode())
+        lexicon.update(label)
+    w.commit()
+    write_dict_txt(sorted(lexicon), os.path.join(path, "dict"))
+
+
+@pytest.mark.parametrize("il", ["base", "mrn"])
+def test_train_cli_end_to_end(tmp_path, il):
+    import train as train_mod
+
+    lans = ["T0", "T1"]
+    alphabets = ["abc", "def"]
+    train_root = str(tmp_path / "train_root")
+    test_root = str(tmp_path / "test_root")
+    for i, lan in enumerate(lans):
+        _build_lmdb_tree(train_root, lan, alphabets[i], 24, seed=i, img_w=64)
+        _build_lmdb_tree(test_root, lan, alphabets[i], 8, seed=10 + i, img_w=64)
+
+    opt = default_options(
+        exp_name=f"e2e_{il}", il=il,
+        memory="random" if il == "mrn" else None, memory_num=8,
+        imgW=64, output_channel=64, hidden_size=32, batch_size=8,
+        num_iter=3, val_interval=3, batch_max_length=8,
+        lan_list=lans, select_data=[train_root], valid_datas=[test_root],
+        workers=0, output_dir=str(tmp_path / "saved"),
+        data_log=str(tmp_path / "data_any.txt"))
+
+    log = ExperimentLog(opt.exp_name, opt.output_dir, opt.data_log, echo=False)
+    best, ned = train_mod.train(opt, log)
+    assert len(best) == 2
+    assert os.path.exists(opt.data_log)
+    exp_dir = tmp_path / "saved" / opt.exp_name
+    assert any(p.suffix == ".msgpack" for p in exp_dir.iterdir())
+    content = (tmp_path / "data_any.txt").read_text(encoding="utf-8")
+    assert "Avg Acc" in content or "Task" in content
