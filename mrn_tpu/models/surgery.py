@@ -27,7 +27,7 @@ _TORCH_LAYOUT_WEIGHTS = ("w_ih", "w_hh", "char_embeddings")
 
 def _kaiming_for(path_names, leaf):
     name = path_names[-1]
-    if name == "kernel":
+    if name.endswith("kernel"):
         if leaf.ndim == 2:
             fan_in = leaf.shape[0]
         else:  # conv [kh, kw, in, out]
@@ -55,9 +55,9 @@ def apply_reference_init(params, rng: jax.Array):
         std = _kaiming_for([str(n) for n in names], leaf)
         if std is not None:
             new_leaves.append(std * jax.random.normal(key, leaf.shape, leaf.dtype))
-        elif name in ("bias", "b_ih", "b_hh"):
+        elif name.endswith("bias") or name in ("b_ih", "b_hh"):
             new_leaves.append(jnp.zeros_like(leaf))
-        elif name == "scale":
+        elif name.endswith("scale"):
             new_leaves.append(jnp.ones_like(leaf))
         else:  # e.g. pos_embed: untouched by the reference pass
             new_leaves.append(leaf)

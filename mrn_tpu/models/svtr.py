@@ -32,10 +32,17 @@ __all__ = ["SVTRExtractor"]
 
 _trunc02 = nn.initializers.truncated_normal(stddev=0.02, lower=-2.0, upper=2.0)
 
-# Attention implementation: "xla" (einsum) or "pallas" (VMEM-resident kernel,
-# mrn_tpu.ops.svtr_attention — the attention matrix never touches HBM).
-# "auto" picks pallas on TPU backends.
+# Kernel implementation switch: "xla" (composed einsums) or "pallas"
+# (VMEM-resident kernels, mrn_tpu.ops.svtr_attention / svtr_block — the
+# attention matrices and block activations never touch HBM).  "auto" picks
+# pallas on TPU backends.  The fused whole-block kernel is inference-only;
+# training uses the composed path with the pallas attention core.
 _ATTENTION_IMPL = "auto"
+
+# Serving-mode switch: tanh-approximate GELU instead of torch's exact erf.
+# Exact erf costs ~20% of SVTR inference time on v5e (VPU transcendental);
+# the approximation changes logits by <1e-3.  Default False for parity.
+_GELU_APPROX = False
 
 
 def set_attention_impl(impl: str):
@@ -44,13 +51,26 @@ def set_attention_impl(impl: str):
     _ATTENTION_IMPL = impl
 
 
-def _attention_core(q, k, v, mask):
-    from mrn_tpu.ops.svtr_attention import mha_small_n, xla_attention
+def set_gelu_approximate(flag: bool):
+    global _GELU_APPROX
+    _GELU_APPROX = bool(flag)
 
+
+def gelu_approximate() -> bool:
+    return _GELU_APPROX
+
+
+def _impl_resolved() -> str:
     impl = _ATTENTION_IMPL
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
-    if impl == "pallas":
+    return impl
+
+
+def _attention_core(q, k, v, mask):
+    from mrn_tpu.ops.svtr_attention import mha_small_n, xla_attention
+
+    if _impl_resolved() == "pallas":
         return mha_small_n(q, k, v, mask)
     if mask is not None:
         mask = jnp.asarray(mask)
@@ -106,58 +126,80 @@ class DropPath(nn.Module):
         return x * mask.astype(x.dtype) / keep
 
 
-class MixAttention(nn.Module):
-    dim: int
-    num_heads: int
-    mixer: str  # 'Local' | 'Global'
-    hw: Tuple[int, int]
-    local_k: Tuple[int, int] = (7, 11)
-    qkv_bias: bool = True
-
-    @nn.compact
-    def __call__(self, x):
-        b, n, c = x.shape
-        head_dim = self.dim // self.num_heads
-        scale = head_dim ** -0.5
-        qkv = _svtr_dense(self.dim * 3, use_bias=self.qkv_bias, name="qkv")(x)
-        qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
-        qkv = jnp.transpose(qkv, (2, 0, 3, 1, 4))
-        q, k, v = qkv[0] * scale, qkv[1], qkv[2]
-        mask = None
-        if self.mixer == "Local":
-            mask = local_attention_mask(self.hw[0], self.hw[1], *self.local_k)
-
-        out = _attention_core(q, k, v, mask)   # [B, h, N, d]
-        out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, n, c)
-        return _svtr_dense(self.dim, name="proj")(out)
-
-
-class Mlp(nn.Module):
-    hidden: int
-    out: int
-
-    @nn.compact
-    def __call__(self, x):
-        x = nn.gelu(_svtr_dense(self.hidden, name="fc1")(x), approximate=False)
-        return _svtr_dense(self.out, name="fc2")(x)
+def _manual_layer_norm(x, scale, bias, eps=1e-6):
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(axis=-1, keepdims=True)
+    var = (xf * xf).mean(axis=-1, keepdims=True) - mean * mean
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (y * scale + bias).astype(dtype)
 
 
 class Block(nn.Module):
+    """Transformer mixing block (LN -> multi-head [masked] attention -> LN ->
+    MLP, pre-norm residuals).  Parameters are owned directly so the fused
+    whole-block Pallas kernel (mrn_tpu.ops.svtr_block) and the composed XLA
+    path share one tree.  Init: trunc_normal(.02) kernels, zero biases,
+    LN bias 1.0 (the reference SVTR construction quirk)."""
+
     dim: int
     num_heads: int
     mixer: str
     hw: Tuple[int, int]
     mlp_ratio: float = 4.0
     drop_path: float = 0.0
+    local_k: Tuple[int, int] = (7, 11)
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        c = self.dim
+        hidden = int(c * self.mlp_ratio)
+        head_dim = c // self.num_heads
+        scale = head_dim ** -0.5
+        ones = nn.initializers.ones
+        zeros = nn.initializers.zeros
+
+        params = dict(
+            norm1_scale=self.param("norm1_scale", ones, (c,)),
+            norm1_bias=self.param("norm1_bias", ones, (c,)),  # quirk
+            qkv_kernel=self.param("qkv_kernel", _trunc02, (c, 3 * c)),
+            qkv_bias=self.param("qkv_bias", zeros, (3 * c,)),
+            proj_kernel=self.param("proj_kernel", _trunc02, (c, c)),
+            proj_bias=self.param("proj_bias", zeros, (c,)),
+            norm2_scale=self.param("norm2_scale", ones, (c,)),
+            norm2_bias=self.param("norm2_bias", ones, (c,)),  # quirk
+            fc1_kernel=self.param("fc1_kernel", _trunc02, (c, hidden)),
+            fc1_bias=self.param("fc1_bias", zeros, (hidden,)),
+            fc2_kernel=self.param("fc2_kernel", _trunc02, (hidden, c)),
+            fc2_bias=self.param("fc2_bias", zeros, (c,)),
+        )
+        mask = None
+        if self.mixer == "Local":
+            mask = local_attention_mask(self.hw[0], self.hw[1], *self.local_k)
+
+        use_fused = (not train) and _impl_resolved() == "pallas"
+        if use_fused:
+            from mrn_tpu.ops.svtr_block import fused_block
+            return fused_block(x, params, mask, self.num_heads, scale)
+
+        # ---- composed XLA path (training / non-TPU backends)
+        b, n, _ = x.shape
         dp = DropPath(self.drop_path, name="drop_path")
-        h = MixAttention(self.dim, self.num_heads, self.mixer, self.hw,
-                         name="mixer")(_layer_norm(name="norm1")(x))
-        x = x + dp(h, train)
-        h = Mlp(int(self.dim * self.mlp_ratio), self.dim,
-                name="mlp")(_layer_norm(name="norm2")(x))
+
+        h = _manual_layer_norm(x, params["norm1_scale"], params["norm1_bias"])
+        qkv = h @ params["qkv_kernel"] + params["qkv_bias"]
+        qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
+        qkv = jnp.transpose(qkv, (2, 0, 3, 1, 4))
+        q, k, v = qkv[0] * scale, qkv[1], qkv[2]
+        attn = _attention_core(q, k, v, mask)  # [B, h, N, d]
+        attn = jnp.transpose(attn, (0, 2, 1, 3)).reshape(b, n, c)
+        attn = attn @ params["proj_kernel"] + params["proj_bias"]
+        x = x + dp(attn, train)
+
+        h = _manual_layer_norm(x, params["norm2_scale"], params["norm2_bias"])
+        h = nn.gelu(h @ params["fc1_kernel"] + params["fc1_bias"],
+                    approximate=_GELU_APPROX)
+        h = h @ params["fc2_kernel"] + params["fc2_bias"]
         return x + dp(h, train)
 
 
