@@ -25,6 +25,11 @@ from mrn_tpu.utils.logging import ExperimentLog
 
 
 def main():
+    # honor MRN_TPU_PLATFORM=cpu|tpu (the env JAX_PLATFORMS is consumed by the
+    # site's TPU plugin bootstrap before user code runs)
+    if os.environ.get("MRN_TPU_PLATFORM"):
+        import jax
+        jax.config.update("jax_platforms", os.environ["MRN_TPU_PLATFORM"])
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", required=True)
     parser.add_argument("--saved_model", required=True)
@@ -67,7 +72,8 @@ def main():
         if last_task > 0:
             learner.class_counts = [
                 e["fc"]["kernel"].shape[1] for e in learner.expert_params]
-            learner._build_mrn_module(len(learner.expert_params))
+            learner._build_mrn_module(len(learner.expert_params),
+                                      counts=tuple(learner.class_counts))
 
     from mrn_tpu.models.surgery import count_params
     n_params = count_params(learner.params)

@@ -70,9 +70,11 @@ class MRN(BaseLearner):
         self._build_mrn_module(n_experts=len(self.expert_params) + 1)
         self.opt_state = None
 
-    def _build_mrn_module(self, n_experts):
+    def _build_mrn_module(self, n_experts, counts=None):
         opt = self.opt
-        counts = tuple(self.class_counts + [self._total_classes])
+        if counts is None:
+            # during training the newest expert is still outside the list
+            counts = tuple(self.class_counts + [self._total_classes])
         self.mrn_model = MRNNet(
             n_experts=n_experts, num_classes=self._total_classes,
             class_counts=counts, prediction=opt.Prediction,

@@ -67,3 +67,33 @@ def test_train_cli_end_to_end(tmp_path, il):
     assert any(p.suffix == ".msgpack" for p in exp_dir.iterdir())
     content = (tmp_path / "data_any.txt").read_text(encoding="utf-8")
     assert "Avg Acc" in content or "Task" in content
+
+    if il == "base":
+        _check_evaluate_cli(tmp_path, opt, train_root, test_root)
+
+
+def _check_evaluate_cli(tmp_path, opt, train_root, test_root):
+    """Standalone evaluation CLI on the trained checkpoint (subprocess)."""
+    import subprocess
+
+    cfg = tmp_path / "cfg.py"
+    cfg.write_text(
+        f"""
+common = dict(exp_name={opt.exp_name!r}, il="base", batch_max_length=8,
+              imgH=32, imgW=64, manual_seed=111)
+model = dict(Transformation="None", FeatureExtraction="VGG",
+             SequenceModeling="BiLSTM", Prediction="CTC",
+             input_channel=4, output_channel=64, hidden_size=32)
+train = dict(lan_list={opt.lan_list!r}, select_data=[{train_root!r}],
+             valid_datas=[{test_root!r}], batch_size=8, NED=True, workers=0)
+""", encoding="utf-8")
+    ckpt = os.path.join(opt.output_dir, opt.exp_name,
+                        f"{opt.lan_list[1]}_1_best_score.msgpack")
+    env = dict(os.environ, MRN_TPU_PLATFORM="cpu")
+    proc = subprocess.run(
+        [sys.executable, "evaluate_cli.py", "--config", str(cfg),
+         "--saved_model", ckpt, "--eval_data", test_root, "--taski", "1"],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env, capture_output=True, text=True, timeout=600)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "total_accuracy:" in proc.stdout

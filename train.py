@@ -89,6 +89,11 @@ def train(opt, log: ExperimentLog):
 
 
 def main():
+    # honor MRN_TPU_PLATFORM=cpu|tpu (the env JAX_PLATFORMS is consumed by the
+    # site's TPU plugin bootstrap before user code runs)
+    if os.environ.get("MRN_TPU_PLATFORM"):
+        import jax
+        jax.config.update("jax_platforms", os.environ["MRN_TPU_PLATFORM"])
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", required=True,
                         help="reference-format python config file")
