@@ -25,6 +25,23 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["fused_block"]
 
 
+def _erf_poly(z):
+    """Abramowitz-Stegun 7.1.26 rational erf approximation (|err| < 1.5e-7 —
+    below bf16 resolution).  Pallas TPU has no erf/erfc lowering."""
+    sign = jnp.sign(z)
+    z = jnp.abs(z)
+    t = 1.0 / (1.0 + 0.3275911 * z)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    return sign * (1.0 - poly * jnp.exp(-z * z))
+
+
+def _gelu_kernel(x, approximate: bool):
+    if approximate:
+        return jax.nn.gelu(x, approximate=True)  # tanh form lowers fine
+    return 0.5 * x * (1.0 + _erf_poly(x * (2.0 ** -0.5)))
+
+
 def _make_kernel(group: int, num_heads: int, head_dim: int, scale: float):
     c = num_heads * head_dim
 
@@ -68,7 +85,7 @@ def _make_kernel(group: int, num_heads: int, head_dim: int, scale: float):
             h = jnp.dot(h.astype(x_ref.dtype), f1k_ref[...],
                         preferred_element_type=jnp.float32) + f1b_ref[...]
             from mrn_tpu.models.svtr import gelu_approximate
-            h = jax.nn.gelu(h, approximate=gelu_approximate())
+            h = _gelu_kernel(h, gelu_approximate())
             h = jnp.dot(h.astype(x_ref.dtype), f2k_ref[...],
                         preferred_element_type=jnp.float32) + f2b_ref[...]
             out = x + h
