@@ -20,7 +20,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["grid_sample", "grid_sample_matmul"]
+__all__ = ["grid_sample", "grid_sample_gather", "grid_sample_matmul"]
 
 
 def _unnormalize(coord, size):
@@ -39,6 +39,15 @@ def _corners(ix, size):
 
 
 def grid_sample(image: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
+    """Backend-aware dispatch: TPU gathers are ~8x slower than the one-hot
+    MXU formulation at TPS sizes (measured 61.5ms vs 8.1ms for B=256
+    32x256x4), so TPU uses grid_sample_matmul; other backends gather."""
+    if jax.default_backend() == "tpu":
+        return grid_sample_matmul(image, grid)
+    return grid_sample_gather(image, grid)
+
+
+def grid_sample_gather(image: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
     """image: [B, H, W, C]; grid: [B, Ho, Wo, 2] with (x, y) in [-1, 1].
     Returns [B, Ho, Wo, C]."""
     b, h, w, c = image.shape
