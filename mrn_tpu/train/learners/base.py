@@ -216,6 +216,12 @@ class BaseLearner:
         aux = self.train_aux()
         meter = StepMeter()
 
+        prefetcher = None
+        if self.opt.get("prefetch", True):
+            from mrn_tpu.data.prefetch import Prefetcher
+            prefetcher = Prefetcher(get_batch, depth=2)
+            get_batch = prefetcher
+
         for iteration in range(start_iter + 1, num_iter + 1):
             fetched = get_batch()
             batch = self._encode_batch(fetched[0], fetched[1])
@@ -237,6 +243,8 @@ class BaseLearner:
                              iteration, train_loss_avg, taski, step=step)
                 train_loss_avg.reset()
 
+        if prefetcher is not None:
+            prefetcher.close()
         self.params, self.batch_stats, self.opt_state = \
             state.params, state.batch_stats, state.opt_state
 
