@@ -84,10 +84,54 @@ def _secondary_arch(name, overrides, batch_size=256):
         jax.block_until_ready(infer(image))
     t0 = time.perf_counter()
     for _ in range(10):
-        out = infer(image)
-    jax.block_until_ready(out)
+        jax.block_until_ready(infer(image))  # per-call block (robust timing)
     tput = batch_size * 10 / (time.perf_counter() - t0)
     print(f"# {name} infer bs{batch_size}: {tput:,.0f} crops/s", file=sys.stderr)
+
+
+def _train_step_bench(batch_size=256):
+    """Secondary: full CRNN train-step throughput (fwd+CTC+bwd+clip+Adam)."""
+    import jax
+    import optax
+    from mrn_tpu.ops.ctc import ctc_loss
+    from mrn_tpu.ops.schedules import onecycle_schedule
+
+    opt = default_options(Transformation="None", FeatureExtraction="VGG",
+                          SequenceModeling="BiLSTM", Prediction="CTC")
+    model = build_recognizer(opt, NUM_CLASSES)
+    rng = jax.random.PRNGKey(0)
+    image = jnp.zeros((batch_size, opt.imgH, opt.imgW, opt.input_channel),
+                      jnp.float32)
+    variables = model.init({"params": rng, "droppath": rng}, image, train=False)
+    params, stats = variables["params"], variables.get("batch_stats", {})
+    tx = optax.chain(optax.clip_by_global_norm(5.0),
+                     optax.adam(onecycle_schedule(5e-4, 10000)))
+    opt_state = tx.init(params)
+    label = jnp.ones((batch_size, 25), jnp.int32)
+    length = jnp.full((batch_size,), 5, jnp.int32)
+
+    @jax.jit
+    def step(params, stats, opt_state, image):
+        def loss_fn(p):
+            out, mut = model.apply({"params": p, "batch_stats": stats}, image,
+                                   train=True, mutable=["batch_stats"],
+                                   rngs={"droppath": rng})
+            return ctc_loss(out["predict"], label, length), mut["batch_stats"]
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_stats, opt_state, loss
+
+    for _ in range(3):
+        params, stats, opt_state, loss = step(params, stats, opt_state, image)
+        jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    for _ in range(10):
+        params, stats, opt_state, loss = step(params, stats, opt_state, image)
+    jax.block_until_ready(loss)
+    dt = (time.perf_counter() - t0) / 10
+    print(f"# CRNN train step bs{batch_size}: {dt * 1000:,.1f} ms "
+          f"({batch_size / dt:,.0f} imgs/s, 10k iters in "
+          f"{dt * 10000 / 60:,.1f} min)", file=sys.stderr)
 
 
 def main():
@@ -111,6 +155,7 @@ def main():
                                      FeatureExtraction="ResNet",
                                      SequenceModeling="BiLSTM",
                                      Prediction="Attn"))
+        _train_step_bench()
     except Exception as e:
         print(f"# secondary benches failed: {e}", file=sys.stderr)
     print(json.dumps({
