@@ -35,10 +35,15 @@ def build(batch_size: int, dtype=jnp.bfloat16):
         lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x,
         variables)
 
+    # token-chained step: each call consumes the previous result ON DEVICE, so
+    # the timing loop is serialized without per-call host round-trips (the
+    # tunneled backend makes both naive pipelining and per-call blocking
+    # unreliable).
     @jax.jit
-    def infer(image):
-        out = model.apply(variables, image.astype(dtype), train=False)
-        return jnp.argmax(out["predict"], axis=2).astype(jnp.int32)
+    def infer(image, token):
+        out = model.apply(variables, (image + token).astype(dtype), train=False)
+        pred = jnp.argmax(out["predict"], axis=2).astype(jnp.int32)
+        return pred, (pred[0, 0] * 0).astype(image.dtype)
 
     return infer, image
 
@@ -46,12 +51,14 @@ def build(batch_size: int, dtype=jnp.bfloat16):
 def measure(batch_size: int, warmup: int = 3, iters: int = 20) -> float:
     infer, image = build(batch_size)
     image = jax.device_put(image)
+    token = jnp.asarray(0.0, image.dtype)
     for _ in range(warmup):
-        jax.block_until_ready(infer(image))
+        pred, token = infer(image, token)
+    jax.block_until_ready(pred)
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = infer(image)
-    jax.block_until_ready(out)
+        pred, token = infer(image, token)
+    jax.block_until_ready(pred)
     dt = time.perf_counter() - t0
     return batch_size * iters / dt
 
@@ -74,17 +81,21 @@ def _secondary_arch(name, overrides, batch_size=256):
         if jnp.issubdtype(x.dtype, jnp.floating) else x, variables)
 
     @jax.jit
-    def infer(image):
-        out = model.apply(variables, image.astype(jnp.bfloat16), train=False,
-                          is_train=False, **kw)
-        return jnp.argmax(out["predict"], axis=2).astype(jnp.int32)
+    def infer(image, token):
+        out = model.apply(variables, (image + token).astype(jnp.bfloat16),
+                          train=False, is_train=False, **kw)
+        pred = jnp.argmax(out["predict"], axis=2).astype(jnp.int32)
+        return pred, (pred[0, 0] * 0).astype(image.dtype)
 
     image = jax.device_put(image)
+    token = jnp.asarray(0.0, image.dtype)
     for _ in range(3):
-        jax.block_until_ready(infer(image))
+        pred, token = infer(image, token)
+    jax.block_until_ready(pred)
     t0 = time.perf_counter()
     for _ in range(10):
-        jax.block_until_ready(infer(image))  # per-call block (robust timing)
+        pred, token = infer(image, token)
+    jax.block_until_ready(pred)
     tput = batch_size * 10 / (time.perf_counter() - t0)
     print(f"# {name} infer bs{batch_size}: {tput:,.0f} crops/s", file=sys.stderr)
 
