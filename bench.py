@@ -146,9 +146,10 @@ def _train_step_bench(batch_size=256):
 
 
 def main():
+    t_start = time.perf_counter()
     best = 0.0
     best_bs = 0
-    for bs in (256, 512, 1024):
+    for bs in (512, 256):
         try:
             tput = measure(bs)
         except Exception as e:  # OOM etc.
@@ -157,18 +158,21 @@ def main():
         print(f"# batch {bs}: {tput:,.0f} crops/s", file=sys.stderr)
         if tput > best:
             best, best_bs = tput, bs
-    try:
-        _secondary_arch("CRNN", dict(Transformation="None",
-                                     FeatureExtraction="VGG",
-                                     SequenceModeling="BiLSTM",
-                                     Prediction="CTC"))
-        _secondary_arch("TRBA", dict(Transformation="TPS",
-                                     FeatureExtraction="ResNet",
-                                     SequenceModeling="BiLSTM",
-                                     Prediction="Attn"))
-        _train_step_bench()
-    except Exception as e:
-        print(f"# secondary benches failed: {e}", file=sys.stderr)
+    # informational secondaries (stderr only), skipped if the headline sweep
+    # already consumed the time budget
+    if time.perf_counter() - t_start < 900:
+        try:
+            _secondary_arch("CRNN", dict(Transformation="None",
+                                         FeatureExtraction="VGG",
+                                         SequenceModeling="BiLSTM",
+                                         Prediction="CTC"))
+            _secondary_arch("TRBA", dict(Transformation="TPS",
+                                         FeatureExtraction="ResNet",
+                                         SequenceModeling="BiLSTM",
+                                         Prediction="Attn"))
+            _train_step_bench()
+        except Exception as e:
+            print(f"# secondary benches failed: {e}", file=sys.stderr)
     print(json.dumps({
         "metric": f"svtr_infer_crops_per_sec_bs{best_bs}",
         "value": round(best, 1),
