@@ -242,8 +242,11 @@ class ValDataset:
         return ds
 
     def _loader(self, dataset):
+        # shuffle=False for parity with the reference eval order (test.py's
+        # eval DataLoader) — keeps printed GT/pred samples and best-checkpoint
+        # tie-breaks deterministic across runs.
         return EpochLoader(dataset, self.opt.batch_size, self.transform,
-                           shuffle=True, pad_to_batch=True, rng=self.rng)
+                           shuffle=False, pad_to_batch=True, rng=self.rng)
 
     def create_dataset(self, val_data=None):
         return self._loader(self._factory(val_data or self.current_data))

@@ -26,7 +26,9 @@ import numpy as np
 from mrn_tpu.data.lmdb_store import LmdbWriter
 
 __all__ = ["check_image_valid", "write_dict_txt", "create_dataset",
-           "create_train_test_dataset", "read_gt_file"]
+           "create_train_test_dataset", "read_gt_file",
+           "create_from_lmdb_train_test_dataset", "create_synth_mlt_dataset",
+           "create_dataset_with_valid_testset"]
 
 
 def check_image_valid(image_bin: bytes) -> bool:
@@ -158,6 +160,174 @@ def create_train_test_dataset(input_path: str, gt_file: str, output_path: str,
     print(f"Created dataset with {cnt_train - 1} train samples")
     print(f"Created dataset with {cnt_test - 1} test samples")
     return cnt_train - 1, cnt_test - 1
+
+
+def create_from_lmdb_train_test_dataset(input_path: str, output_path: str,
+                                        output_path2: str,
+                                        map_size: int = 80 * 2 ** 30,
+                                        seed=None):
+    """Re-split an EXISTING LMDB into a train/test pair with the 9:1
+    reshuffled-slot policy + dict.txt next to the train output
+    (create_from_lmdb_train_test_Dataset, create_lmdb_dataset.py:176-273)."""
+    from mrn_tpu.data.lmdb_store import LmdbReader
+
+    _fresh_dir(output_path)
+    _fresh_dir(output_path2)
+    reader = LmdbReader(input_path)
+    n_samples = int(reader.get(b"num-samples"))
+    print(f"total sampler:{n_samples}")
+
+    train_w = LmdbWriter(output_path, map_size=map_size)
+    test_w = LmdbWriter(output_path2, map_size=map_size)
+    rng = random.Random(seed)
+    rad_num = list(range(10))
+    rng.shuffle(rad_num)
+    lexicon = set()
+    cnt, cnt_train, cnt_test = 1, 1, 1
+
+    for i in range(n_samples):
+        label = reader.get(b"label-%09d" % (i + 1))
+        image = reader.get(b"image-%09d" % (i + 1))
+        if rad_num[cnt % 10] == 1:  # is_test
+            test_w.put(b"image-%09d" % cnt_test, image)
+            test_w.put(b"label-%09d" % cnt_test, label)
+            cnt_test += 1
+        else:
+            train_w.put(b"image-%09d" % cnt_train, image)
+            train_w.put(b"label-%09d" % cnt_train, label)
+            cnt_train += 1
+        if cnt % 10 == 0:
+            rng.shuffle(rad_num)
+        lexicon.update(label.decode("utf-8"))
+        cnt += 1
+
+    train_w.put(b"num-samples", str(cnt_train - 1).encode())
+    test_w.put(b"num-samples", str(cnt_test - 1).encode())
+    train_w.commit()
+    test_w.commit()
+    print(f"Created dataset with {cnt_train - 1} train samples")
+    print(f"Created dataset with {cnt_test - 1} test samples")
+    write_dict_txt(sorted(lexicon), os.path.join(output_path, "dict"))
+    return cnt_train - 1, cnt_test - 1
+
+
+def create_synth_mlt_dataset(image_paths: List[str], labels: List[str],
+                             output_path: str, check_valid: bool = True,
+                             map_size: int = 80 * 2 ** 30):
+    """Single LMDB from parallel image-path/label lists (synthetic MLT crops;
+    createSynthMLTDataset, create_lmdb_dataset.py:351-424)."""
+    _fresh_dir(output_path)
+    writer = LmdbWriter(output_path, map_size=map_size)
+    lexicon = set()
+    cnt = 1
+    for image_path, label in zip(image_paths, labels):
+        if not os.path.exists(image_path):
+            print(f"{image_path} does not exist")
+            continue
+        with open(image_path, "rb") as f:
+            image_bin = f.read()
+        if check_valid and not check_image_valid(image_bin):
+            print(f"{image_path} is not a valid image")
+            continue
+        writer.put(b"image-%09d" % cnt, image_bin)
+        writer.put(b"label-%09d" % cnt, label.encode())
+        writer.put(b"imagepath-%09d" % cnt, image_path.encode())
+        lexicon.update(label)
+        cnt += 1
+    writer.put(b"num-samples", str(cnt - 1).encode())
+    writer.commit()
+    write_dict_txt(sorted(lexicon), os.path.join(output_path, "dict"))
+    print(f"Created dataset with {cnt - 1} samples")
+    return cnt - 1
+
+
+def create_dataset_with_valid_testset(input_path: str, gt_file: str,
+                                      output_path: str, dataset_name: str,
+                                      validset_percent: int = 10,
+                                      testset_percent: int = 0,
+                                      random_seed: int = 1111,
+                                      check_valid: bool = True,
+                                      map_size: int = 30 * 2 ** 30):
+    """Split one tab-separated gt list into training/validation[/evaluation]
+    LMDBs under output_path/<split>/<dataset_name>, emitting the per-split gt
+    side files gt_{train,valid,test}.txt
+    (createDataset_with_ValidTestset, create_lmdb_dataset.py:427-556)."""
+    train_path = os.path.join(output_path, "training", dataset_name)
+    valid_path = os.path.join(output_path, "validation", dataset_name)
+    _fresh_dir(train_path)
+    _fresh_dir(valid_path)
+    gt_train_path = gt_file.replace(".txt", "_train.txt")
+    gt_valid_path = gt_file.replace(".txt", "_valid.txt")
+    if testset_percent != 0:
+        test_path = os.path.join(output_path, "evaluation", dataset_name)
+        _fresh_dir(test_path)
+        gt_test_path = gt_file.replace(".txt", "_test.txt")
+
+    with open(gt_file, "r", encoding="utf-8-sig") as data:
+        datalist = data.readlines()
+    rng = random.Random(random_seed)
+    rng.shuffle(datalist)
+
+    n_samples = len(datalist)
+    num_valid = int(n_samples * validset_percent / 100.0)
+    num_test = int(n_samples * testset_percent / 100.0)
+    num_train = n_samples - num_valid - num_test
+    print(f"# Train dataset: {num_train}, # valid datast: {num_valid}, "
+          f"and # test datast: {num_test}")
+
+    writer = LmdbWriter(train_path, map_size=map_size)
+    data_log = open(gt_train_path, "w", encoding="utf-8")
+    cnt = 1
+    counts = {"train": 0, "valid": 0, "test": 0}
+    split = "train"
+    for i in range(n_samples):
+        data_log.write(datalist[i])
+        image, label = datalist[i].strip("\n").split("\t")
+        image_path = os.path.join(input_path, image)
+        if not os.path.exists(image_path):
+            print(f"{image_path} does not exist")
+            continue
+        with open(image_path, "rb") as f:
+            image_bin = f.read()
+        if check_valid and not check_image_valid(image_bin):
+            print(f"{image_path} is not a valid image")
+            continue
+        writer.put(b"image-%09d" % cnt, image_bin)
+        writer.put(b"label-%09d" % cnt, label.encode())
+        writer.put(b"imagepath-%09d" % cnt, image_path.encode())
+        counts[split] += 1
+
+        # finish train and start validation (reference 520-531)
+        if i + 1 == num_train:
+            print(f"# Train dataset: {num_train} is finished")
+            writer.put(b"num-samples", str(num_train).encode())
+            writer.commit()
+            data_log.close()
+            writer = LmdbWriter(valid_path, map_size=map_size)
+            data_log = open(gt_valid_path, "w", encoding="utf-8")
+            cnt = 0  # not 1 at this time
+            split = "valid"
+        # finish valid and start test (reference 533-544)
+        if i + 1 == num_train + num_valid and num_test != 0:
+            print(f"# Valid dataset: {num_valid} is finished")
+            writer.put(b"num-samples", str(num_valid).encode())
+            writer.commit()
+            data_log.close()
+            writer = LmdbWriter(test_path, map_size=map_size)
+            data_log = open(gt_test_path, "w", encoding="utf-8")
+            cnt = 0
+            split = "test"
+        cnt += 1
+
+    if num_test == 0:
+        writer.put(b"num-samples", str(num_valid).encode())
+        print(f"# Valid datast: {num_valid} is finished")
+    else:
+        writer.put(b"num-samples", str(num_test).encode())
+        print(f"# Test datast: {num_test} is finished")
+    writer.commit()
+    data_log.close()
+    return counts["train"], counts["valid"], counts["test"]
 
 
 def main():

@@ -291,8 +291,16 @@ class BaseLearner:
     def make_eval_batch(self, val_choose: str = "val"):
         """Jitted eval closure for the current model.  Params are passed as
         arguments (not captured) so the compiled function stays valid as
-        training updates them."""
-        model = self.model
+        training updates them.  The closure is cached per (val_choose, model
+        identity, routing phase) — a fresh ``@jax.jit`` object per call would
+        recompile on every run_validation."""
+        cache_key = (val_choose, getattr(self, "_phase", None))
+        models = (self.model, getattr(self, "mrn_model", None))
+        cache = self.__dict__.setdefault("_eval_fn_cache", {})
+        entry = cache.get(cache_key)
+        if entry is not None and all(a is b for a, b in zip(entry[0], models)):
+            return entry[1]
+
         is_attn = self.opt.Prediction == "Attn"
         pad_id = self._pad_id()
         sos_id = getattr(self.converter, "sos_id", 0)
@@ -326,6 +334,7 @@ class BaseLearner:
                            shard_batch(jnp.asarray(images)),
                            jnp.asarray(labels_index), jnp.asarray(lengths))
 
+        cache[cache_key] = (models, eval_batch)
         return eval_batch
 
     def run_validation(self, valid_loader, val_choose: str = "val"):

@@ -70,6 +70,7 @@ def test_train_cli_end_to_end(tmp_path, il):
 
     if il == "base":
         _check_evaluate_cli(tmp_path, opt, train_root, test_root)
+        _check_benchmark_all_eval(tmp_path, opt, test_root)
 
 
 def _check_evaluate_cli(tmp_path, opt, train_root, test_root):
@@ -97,3 +98,55 @@ train = dict(lan_list={opt.lan_list!r}, select_data=[{train_root!r}],
         env=env, capture_output=True, text=True, timeout=600)
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "total_accuracy:" in proc.stdout
+
+
+def _check_benchmark_all_eval(tmp_path, opt, test_root):
+    """The reference's benchmark_all_eval surface (test.py:24-136): preset
+    eval list, result/<exp>/log_all_evaluation.txt, evaluation_log/ files,
+    and the batch_size=1 infer-time mode."""
+    import evaluate_cli as ec
+
+    ckpt = os.path.join(opt.output_dir, opt.exp_name,
+                        f"{opt.lan_list[1]}_1_best_score.msgpack")
+    opt.eval_type = "IL_STR"
+    opt.eval_data = test_root + "/"
+    learner = ec.load_learner(opt, ckpt, last_task=1)
+    result_dir = str(tmp_path / "result")
+    evlog_dir = str(tmp_path / "evaluation_log")
+    total, names, accs = ec.benchmark_all_eval(
+        learner, opt, 1, result_dir=result_dir,
+        evaluation_log_dir=evlog_dir, eval_data_list=list(opt.lan_list))
+    assert names == list(opt.lan_list) and len(accs) == 2
+    content = (tmp_path / "result" / opt.exp_name /
+               "log_all_evaluation.txt").read_text(encoding="utf-8")
+    for field in ("dataset_root:", "Acc ", "Ned ", "accuracy: T0:",
+                  "total_accuracy:", "averaged_infer_time:", "# parameters:",
+                  "Total_accuracy:"):
+        assert field in content, field
+    evlogs = os.listdir(evlog_dir)
+    assert len(evlogs) == 1 and evlogs[0].startswith("log_all_model_evaluation")
+
+    # --log_multiple_test appends the tab-joined accuracy line to its own file
+    ec.benchmark_all_eval(learner, opt, 1, log_multiple_test=True,
+                          result_dir=result_dir, evaluation_log_dir=evlog_dir,
+                          eval_data_list=[opt.lan_list[0]])
+    assert any(f.startswith("log_multiple_test") for f in os.listdir(evlog_dir))
+
+    # batch_size=1 per-image infer-time mode (test.py:56-61)
+    ec.benchmark_all_eval(learner, opt, 1, calculate_infer_time=True,
+                          result_dir=result_dir, evaluation_log_dir=evlog_dir,
+                          eval_data_list=[opt.lan_list[0]])
+
+
+def test_model_name_presets():
+    """model_name → stage presets match reference test.py:476-492."""
+    import evaluate_cli as ec
+
+    for name, stages in (
+            ("CRNN", ("None", "VGG", "BiLSTM", "CTC")),
+            ("TRBA", ("TPS", "ResNet", "BiLSTM", "Attn")),
+            ("RBA", ("None", "ResNet", "BiLSTM", "Attn"))):
+        opt = default_options(model_name=name)
+        ec.apply_model_name_presets(opt)
+        assert (opt.Transformation, opt.FeatureExtraction,
+                opt.SequenceModeling, opt.Prediction) == stages

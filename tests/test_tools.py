@@ -5,6 +5,9 @@ import numpy as np
 import pytest
 
 from mrn_tpu.tools.create_lmdb import (create_dataset,
+                                       create_dataset_with_valid_testset,
+                                       create_from_lmdb_train_test_dataset,
+                                       create_synth_mlt_dataset,
                                        create_train_test_dataset)
 from mrn_tpu.tools.crop_by_word import (collect_files, crop_img,
                                         generate_ann, load_img_info)
@@ -49,6 +52,106 @@ def test_create_train_test_split(tmp_path, rng):
         str(tmp_path), str(gt), str(out1), str(out2), map_size=1 << 24, seed=1)
     assert n_train + n_test == 50
     assert 1 <= n_test <= 15  # ~10%
+
+
+def test_create_from_lmdb_resplit(tmp_path, rng):
+    """Re-split an existing LMDB 9:1 (reference create_lmdb_dataset.py:176-273)."""
+    gt = _write_images(tmp_path, 40, rng)
+    src = tmp_path / "src_lmdb"
+    create_dataset(str(tmp_path), str(gt), str(src), map_size=1 << 24)
+
+    out1 = tmp_path / "resplit_train"
+    out2 = tmp_path / "resplit_test"
+    n_train, n_test = create_from_lmdb_train_test_dataset(
+        str(src), str(out1), str(out2), map_size=1 << 24, seed=3)
+    assert n_train + n_test == 40
+    assert 1 <= n_test <= 12
+    assert (out1 / "dict.txt").exists()
+
+    from mrn_tpu.config import default_options
+    from mrn_tpu.data.dataset import LmdbDataset
+    ds = LmdbDataset(str(out1), default_options(), mode="train")
+    assert len(ds) == n_train
+    _, label = ds[0]
+    assert label.startswith("word")
+
+
+def test_create_synth_mlt_dataset(tmp_path, rng):
+    """Parallel path/label lists (reference create_lmdb_dataset.py:351-424)."""
+    _write_images(tmp_path, 4, rng)
+    paths = [str(tmp_path / "raw" / f"img{i:03d}.png") for i in range(4)]
+    paths.append(str(tmp_path / "raw" / "missing.png"))  # skipped, not fatal
+    labels = [f"synth{i}" for i in range(5)]
+    out = tmp_path / "synth_lmdb"
+    n = create_synth_mlt_dataset(paths, labels, str(out), map_size=1 << 24)
+    assert n == 4
+    assert (out / "dict.txt").exists()
+
+    from mrn_tpu.config import default_options
+    from mrn_tpu.data.dataset import LmdbDataset
+    ds = LmdbDataset(str(out), default_options(), mode="train")
+    _, label = ds[0]
+    assert label.startswith("synth")
+
+
+def test_create_dataset_with_valid_testset(tmp_path, rng):
+    """training/validation/evaluation tree + gt side files (reference
+    create_lmdb_dataset.py:427-556; tab-separated gt format)."""
+    img_dir = tmp_path / "raw"
+    img_dir.mkdir()
+    lines = []
+    for i in range(30):
+        img = rng.integers(0, 255, size=(20, 40, 3)).astype(np.uint8)
+        name = f"img{i:03d}.png"
+        cv2.imwrite(str(img_dir / name), img)
+        lines.append(f"raw/{name}\tword{i}")
+    gt = tmp_path / "gt.txt"
+    gt.write_text("\n".join(lines) + "\n", encoding="utf-8")
+
+    n_train, n_valid, n_test = create_dataset_with_valid_testset(
+        str(tmp_path), str(gt), str(tmp_path / "out"), "ds",
+        validset_percent=10, testset_percent=10, map_size=1 << 24)
+    assert (n_train, n_valid, n_test) == (24, 3, 3)
+    assert (tmp_path / "gt_train.txt").exists()
+    assert (tmp_path / "gt_valid.txt").exists()
+    assert (tmp_path / "gt_test.txt").exists()
+
+    from mrn_tpu.config import default_options
+    from mrn_tpu.data.dataset import LmdbDataset
+    for split, expected in (("training", 24), ("validation", 3),
+                            ("evaluation", 3)):
+        ds = LmdbDataset(str(tmp_path / "out" / split / "ds"),
+                         default_options(), mode="train")
+        assert len(ds) == expected, split
+
+    # no testset: validation only (reference 548-551)
+    n_train, n_valid, n_test = create_dataset_with_valid_testset(
+        str(tmp_path), str(gt), str(tmp_path / "out2"), "ds",
+        validset_percent=10, testset_percent=0, map_size=1 << 24)
+    assert (n_train, n_valid, n_test) == (27, 3, 0)
+
+
+def test_char_accuracy_report(tmp_path):
+    """Per-char recall + frequency-bucket averages (reference utils.py:233-278)."""
+    from mrn_tpu.tools.analysis import (char_accuracy, char_accuracy_report,
+                                        char_frequency)
+
+    total = tmp_path / "all.txt"
+    true = tmp_path / "true.txt"
+    total.write_text("ab\nab\nac\n", encoding="utf-8")   # a:3 b:2 c:1
+    true.write_text("ab\nac\n", encoding="utf-8")        # a:2 b:1 c:1
+    assert char_frequency(str(total)) == {"a": 3, "b": 2, "c": 1}
+
+    table = char_accuracy(str(true), str(total))
+    assert table == [("c", 1, 1.0), ("b", 2, 0.5), ("a", 3, 2 / 3)]
+
+    out = tmp_path / "report.txt"
+    lines = char_accuracy_report(str(true), str(total), str(out))
+    content = out.read_text(encoding="utf-8")
+    assert "avg 1 char is 1.00 total 1" in content
+    assert "avg 2 char is 0.50 total 1" in content
+    assert "avg 3 char is 0.67 total 1" in content  # final bucket flushed
+    assert len(lines) == 6  # 3 bucket lines + 3 table rows
 
 
 def test_crop_by_word_pipeline(tmp_path, rng):
