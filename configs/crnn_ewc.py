@@ -11,6 +11,10 @@ common = dict(
     imgW=256,
     manual_seed=111,
     start_task=0,
+    # Fisher-diagonal estimation batches per task (reference ewc.py:128-167
+    # hardcodes 5000 full-batch grad passes — on TPU that adds ~50% to a
+    # task's wall time; lower it to trade EWC quality for speed).
+    fisher_num_iter=5000,
 )
 
 model = dict(

@@ -84,6 +84,7 @@ _DEFAULTS: Dict[str, Any] = dict(
     # framework extensions (TPU build only; absent from reference configs)
     compute_dtype="float32",     # "bfloat16" for perf runs
     data_parallel=1,              # number of devices for batch sharding
+    expert_parallel=1,            # devices for MRN's stacked-expert axis
     router_labels="reference",   # "reference" = memory-vs-current binary CE targets
     #                               (quirk of data_manage.py IndexConcatDataset nesting);
     #                               "task" = true per-task expert labels.

@@ -34,6 +34,8 @@ class ArrayDataset:
 
     def __getitem__(self, idx):
         img = self.images[idx]
+        if isinstance(img, np.ndarray) and img.dtype == np.float32:
+            return img, self.labels[idx]  # pre-transformed fast path
         if not isinstance(img, PIL.Image.Image):
             img = PIL.Image.fromarray(img).convert("RGBA")
         return img, self.labels[idx]

@@ -12,7 +12,49 @@ import numpy as np
 
 from mrn_tpu.data.dataset import ArrayDataset
 
-__all__ = ["synth_word_image", "make_task_dataset", "make_task_suite"]
+__all__ = ["synth_word_image", "synth_word_image_bits", "alphabet_of_size",
+           "make_task_dataset", "make_task_suite"]
+
+
+def alphabet_of_size(n: int, start: int = 0x4E00) -> str:
+    """n distinct characters from a contiguous BMP span (default: CJK Unified
+    Ideographs, 20k+ codepoints) — for MLT-scale synthetic alphabets."""
+    return "".join(chr(start + i) for i in range(n))
+
+
+def synth_word_image_bits(word: str, char_to_idx: Dict[str, int],
+                          img_h: int = 32, img_w: int = 256, rng=None,
+                          grid: Tuple[int, int] = (4, 4)) -> np.ndarray:
+    """RGBA uint8 crop for LARGE alphabets: each character's band carries a
+    (grid_h x grid_w) block pattern encoding its index in binary (4x4 = 16
+    bits = 65k classes).  The per-band-intensity encoder (synth_word_image)
+    saturates around ~50 classes; block patterns stay conv-learnable at
+    MLT-scale class counts (README.md:100: up to 1895 classes/task), and the
+    code is systematic, so few samples per class suffice — like glyph
+    structure does for real scripts."""
+    rng = rng or np.random.default_rng(0)
+    gh, gw = grid
+    img = np.zeros((img_h, img_w, 4), dtype=np.float32)
+    img[..., 3] = 255.0
+    n = max(1, len(word))
+    band = img_w // n
+    for i, ch in enumerate(word):
+        k = char_to_idx[ch]
+        x_base = i * band
+        for r in range(gh):
+            y0 = r * img_h // gh
+            y1 = (r + 1) * img_h // gh
+            for c in range(gw):
+                bit = (k >> (r * gw + c)) & 1
+                x0 = x_base + c * band // gw
+                x1 = x_base + (c + 1) * band // gw
+                level = 225.0 if bit else 30.0
+                img[y0:y1, x0:x1, 0] = level
+                img[y0:y1, x0:x1, 1] = 255.0 - level
+        # coarse class hint on the blue channel (redundancy)
+        img[:, x_base:x_base + band, 2] = 40 + (k % 199)
+    img[..., :3] += rng.normal(0, 6.0, size=img[..., :3].shape)
+    return np.clip(img, 0, 255).astype(np.uint8)
 
 
 def synth_word_image(word: str, alphabet: str, img_h: int = 32, img_w: int = 64,
@@ -37,27 +79,58 @@ def synth_word_image(word: str, alphabet: str, img_h: int = 32, img_w: int = 64,
 
 def make_task_dataset(alphabet: str, n_samples: int, img_h: int = 32,
                       img_w: int = 64, min_len: int = 1, max_len: int = 4,
-                      seed: int = 0) -> ArrayDataset:
+                      seed: int = 0, renderer: str = "bands",
+                      pretransformed: bool = False,
+                      char_to_idx: Dict[str, int] = None) -> ArrayDataset:
+    """renderer="bands" (intensity code, small alphabets) or "bits" (block
+    pattern, MLT-scale alphabets).  pretransformed=True stores normalized
+    float32 arrays that skip the per-batch PIL resize path entirely (the
+    in-memory fast feed for single-core hosts).  ``char_to_idx`` overrides the
+    bit-pattern index mapping — pass a GLOBAL (cross-task) mapping so task
+    identity stays readable from the rendering (make_task_suite does)."""
     rng = np.random.default_rng(seed)
+    if char_to_idx is None:
+        char_to_idx = {ch: i for i, ch in enumerate(alphabet)}
+    chars = list(alphabet)
     images, labels = [], []
     for _ in range(n_samples):
         length = int(rng.integers(min_len, max_len + 1))
-        word = "".join(rng.choice(list(alphabet), size=length))
-        images.append(synth_word_image(word, alphabet, img_h, img_w, rng))
+        word = "".join(rng.choice(chars, size=length))
+        if renderer == "bits":
+            img = synth_word_image_bits(word, char_to_idx, img_h, img_w, rng)
+        else:
+            img = synth_word_image(word, alphabet, img_h, img_w, rng)
+        if pretransformed:
+            img = (img.astype(np.float32) / 255.0 - 0.5) / 0.5
+        images.append(img)
         labels.append(word)
     return ArrayDataset(images, labels)
 
 
-def make_task_suite(task_alphabets: Sequence[str], n_train: int, n_test: int,
-                    img_h: int = 32, img_w: int = 64, seed: int = 0):
+def make_task_suite(task_alphabets: Sequence[str], n_train, n_test,
+                    img_h: int = 32, img_w: int = 64, seed: int = 0,
+                    min_len: int = 1, max_len: int = 4,
+                    renderer: str = "bands", pretransformed: bool = False):
     """Per-task train/test ArrayDatasets + per-task dict lists (the synthetic
-    MLT17-like incremental suite).  Returns (trains, tests, dicts)."""
+    MLT17-like incremental suite).  ``n_train``/``n_test`` may be ints or
+    per-task sequences (to echo MLT's skewed per-task instance counts).
+    Returns (trains, tests, dicts)."""
     trains, tests, dicts = [], [], []
+    # global cross-task index mapping for the bit renderer: task identity is
+    # readable from the bit pattern (disjoint index ranges per task)
+    global_map = {}
+    for alphabet in task_alphabets:
+        for ch in alphabet:
+            global_map.setdefault(ch, len(global_map))
     for i, alphabet in enumerate(task_alphabets):
-        trains.append(make_task_dataset(alphabet, n_train, img_h, img_w,
-                                        seed=seed + 2 * i))
-        tests.append(make_task_dataset(alphabet, n_test, img_h, img_w,
-                                       seed=seed + 2 * i + 1))
+        nt = n_train[i] if isinstance(n_train, (list, tuple)) else n_train
+        nv = n_test[i] if isinstance(n_test, (list, tuple)) else n_test
+        kw = dict(img_h=img_h, img_w=img_w, min_len=min_len, max_len=max_len,
+                  renderer=renderer, pretransformed=pretransformed,
+                  char_to_idx=global_map if renderer == "bits" else None)
+        trains.append(make_task_dataset(alphabet, nt, seed=seed + 2 * i, **kw))
+        tests.append(make_task_dataset(alphabet, nv, seed=seed + 2 * i + 1,
+                                       **kw))
         dicts.append(list(alphabet))
     return trains, tests, dicts
 
@@ -68,10 +141,10 @@ class SyntheticSource:
     `<root>/<language>` LMDB layout)."""
 
     def __init__(self, task_alphabets: Sequence[str], lan_list: Sequence[str],
-                 n_train: int = 64, n_test: int = 16, img_h: int = 32,
-                 img_w: int = 64, seed: int = 0):
+                 n_train=64, n_test=16, img_h: int = 32,
+                 img_w: int = 64, seed: int = 0, **suite_kw):
         trains, tests, dicts = make_task_suite(task_alphabets, n_train, n_test,
-                                               img_h, img_w, seed)
+                                               img_h, img_w, seed, **suite_kw)
         self.lan_list = list(lan_list)
         self.trains: Dict[str, ArrayDataset] = dict(zip(lan_list, trains))
         self.tests: Dict[str, ArrayDataset] = dict(zip(lan_list, tests))

@@ -32,7 +32,9 @@ class ResizeNormalize:
     def __init__(self, size: Tuple[int, int]):
         self.size = size  # (W, H)
 
-    def __call__(self, image: PIL.Image.Image) -> np.ndarray:
+    def __call__(self, image) -> np.ndarray:
+        if isinstance(image, np.ndarray) and image.dtype == np.float32:
+            return image  # already transformed (ArrayDataset fast path)
         image = image.resize(self.size, PIL.Image.BICUBIC)
         return _to_array(image)
 

@@ -21,7 +21,8 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["set_data_parallel", "get_mesh", "shard_batch", "replicate"]
+__all__ = ["set_data_parallel", "set_expert_parallel", "get_mesh",
+           "shard_batch", "shard_experts", "replicate"]
 
 _MESH: Optional[Mesh] = None
 
@@ -41,8 +42,31 @@ def set_data_parallel(num_devices: Optional[int] = None, devices=None):
     return _MESH
 
 
+def set_expert_parallel(expert: int, data: Optional[int] = None, devices=None):
+    """Install a 2-D (data × expert) mesh: MRN's stacked-expert axis is
+    sharded over 'expert' devices and the batch over 'data' devices (XLA
+    inserts the gathers for the router combine).  expert=1 falls back to the
+    1-D data mesh."""
+    global _MESH
+    if devices is None:
+        devices = jax.devices()
+    if expert <= 1:
+        return set_data_parallel(data, devices=devices)
+    if data is None:
+        data = max(1, len(devices) // expert)
+    if data * expert > len(devices):
+        raise ValueError(f"need {data}x{expert} devices, have {len(devices)}")
+    _MESH = Mesh(np.array(devices[:data * expert]).reshape(data, expert),
+                 axis_names=("data", "expert"))
+    return _MESH
+
+
 def get_mesh() -> Optional[Mesh]:
     return _MESH
+
+
+def expert_axis_size() -> int:
+    return dict(getattr(_MESH, "shape", {})).get("expert", 1)
 
 
 def shard_batch(x):
@@ -51,6 +75,25 @@ def shard_batch(x):
     if _MESH is None:
         return x
     return jax.device_put(x, NamedSharding(_MESH, P("data")))
+
+
+def shard_experts(tree, n_experts: int):
+    """Place a stacked-expert pytree: leaves with a leading axis of size
+    ``n_experts`` are sharded over the 'expert' mesh axis (when divisible),
+    everything else replicated.  Identity without an expert mesh axis."""
+    if _MESH is None or "expert" not in _MESH.axis_names:
+        return tree
+    n_shards = dict(_MESH.shape)["expert"]
+    expert_s = NamedSharding(_MESH, P("expert"))
+    full_s = NamedSharding(_MESH, P())
+
+    def place(leaf):
+        if getattr(leaf, "ndim", 0) >= 1 and leaf.shape[0] == n_experts \
+                and n_experts % n_shards == 0:
+            return jax.device_put(leaf, expert_s)
+        return jax.device_put(leaf, full_s)
+
+    return jax.tree_util.tree_map(place, tree)
 
 
 def replicate(tree):

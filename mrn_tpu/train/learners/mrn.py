@@ -98,12 +98,18 @@ class MRN(BaseLearner):
 
     def _routed_variables(self, router_params):
         """Assemble the full MRNNet variable tree from the frozen expert list
-        (step 0 already absorbed the newest expert via _freeze_newest)."""
-        stacked_params = stack_expert_params(self.expert_params,
-                                             self._total_classes,
-                                             self.opt.Prediction)
-        stacked_stats = jax.tree_util.tree_map(
-            lambda *xs: jnp.stack(xs, 0), *self.expert_stats) \
+        (step 0 already absorbed the newest expert via _freeze_newest).
+        With an expert-parallel mesh installed (set_expert_parallel /
+        opt.expert_parallel), the stacked expert axis is sharded over the
+        'expert' mesh axis — the TPU-native scale-out for the ensemble."""
+        from mrn_tpu.parallel.mesh import shard_experts
+
+        n = len(self.expert_params)
+        stacked_params = shard_experts(
+            stack_expert_params(self.expert_params, self._total_classes,
+                                self.opt.Prediction), n)
+        stacked_stats = shard_experts(jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs, 0), *self.expert_stats), n) \
             if self.expert_stats[0] else {}
         params = dict(router_params)
         params["experts"] = stacked_params

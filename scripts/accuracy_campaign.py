@@ -1,0 +1,213 @@
+"""6-task synthetic AIA campaign — the accuracy-protocol proxy for the MLT17
+incremental benchmark, runnable in this environment (the MLT17/19 LMDBs are
+not available here).
+
+Echoes the reference benchmark's shape (README.md:98-100) at 1/8 instance
+scale: 6 tasks in the reference order with the reference's per-task class
+counts (1895/325/1620/1124/73/112 — disjoint CJK-like unicode spans), skewed
+per-task instance counts, batch 256, Adam 5e-4 + OneCycle, grad clip 5, seed
+111, 32x256 RGBA crops.  Words are rendered with the 16-bit block-pattern
+encoder over GLOBAL class indices, so task identity is readable from the image
+(as scripts are in real MLT) and the code is systematic (few samples per class
+suffice, like glyph structure).
+
+Protocol: per task, train; then reload the best checkpoint and evaluate ALL
+seen tasks (il_modules/base.py:363-436); record the full accuracy matrix,
+per-stage AIA, and final forgetting.  One strategy per invocation:
+
+    python scripts/accuracy_campaign.py --il mrn [--num_iter 1250] \
+        [--out ACCURACY_RUNS]
+
+Writes <out>/<il>.json.  scripts/accuracy_report.py assembles ACCURACY.md.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from mrn_tpu.config import default_options
+from mrn_tpu.data.manager import DatasetManager, ValDataset
+from mrn_tpu.data.synthetic import SyntheticSource, alphabet_of_size
+from mrn_tpu.train.learners import build_learner
+from mrn_tpu.utils.logging import ExperimentLog
+
+# MLT17 shape (reference README.md:98-100), instances scaled 1/8
+LANS = ["Chinese", "Latin", "Japanese", "Korean", "Arabic", "Bangla"]
+CLASSES = [1895, 325, 1620, 1124, 73, 112]
+N_TRAIN = [336, 5926, 576, 704, 464, 405]
+N_TEST = [66, 1384, 169, 154, 123, 89]
+
+# memory policy mirrors the shipped configs: rehearsal methods use it
+MEMORY_ILS = {"mrn", "der", "wa", "joint_mix"}
+
+
+def build_source(opt, seed=111):
+    spans, start = [], 0x4E00
+    for n in CLASSES:
+        spans.append(alphabet_of_size(n, start))
+        start += n
+    return SyntheticSource(spans, LANS, n_train=N_TRAIN, n_test=N_TEST,
+                           img_h=opt.imgH, img_w=opt.imgW, seed=seed,
+                           min_len=1, max_len=10, renderer="bits",
+                           pretransformed=True)
+
+
+def _val_builder(opt, source):
+    def build(val_data):
+        return ValDataset([val_data], opt,
+                          dataset_factory=source.val_factory).create_dataset()
+    return build
+
+
+def _matrix_row(learner, opt, source, taski):
+    """Accuracy over tasks 0..taski with the already-loaded best checkpoint
+    (learner.test just reloaded it)."""
+    if opt.il == "mrn":
+        choose = "FF" if taski == 0 else "TF"
+    else:
+        choose = "test"
+    row = []
+    for j in range(taski + 1):
+        loader = _val_builder(opt, source)(f"synth_test/{opt.lan_list[j]}")
+        res = learner.run_validation(loader, choose)
+        row.append(round(res.score, 2))
+    return row
+
+
+def run_incremental(opt, source, log):
+    learner = build_learner(opt)
+    manager = DatasetManager(opt, dataset_factory=source.train_factory)
+    best_scores, ned_scores = [], []
+    valid_datas = []
+    matrix, stage_times = [], []
+    for taski in range(len(opt.lan_list)):
+        t0 = time.time()
+        valid_datas.append(f"synth_test/{opt.lan_list[taski]}")
+        val_ds = ValDataset(valid_datas, opt,
+                            dataset_factory=source.val_factory)
+        if taski == 0:
+            manager.init_start(opt, opt.select_data, log, taski)
+        character = source.cumulative_character(taski)
+        learner.incremental_train(taski, character, manager, val_ds)
+        best_scores, ned_scores = learner.test(
+            valid_datas, best_scores, ned_scores, taski,
+            val_dataset_builder=_val_builder(opt, source))
+        matrix.append(_matrix_row(learner, opt, source, taski))
+        learner.after_task()
+        stage_times.append(round(time.time() - t0, 1))
+        print(f"[{opt.il}] task {taski} ({opt.lan_list[taski]}): "
+              f"row={matrix[-1]} AIA={best_scores[-1]} "
+              f"({stage_times[-1]}s)", flush=True)
+    return learner, best_scores, matrix, stage_times
+
+
+def run_joint(opt, source, log):
+    """The joint upper bound (train.py:40-56 flow)."""
+    learner = build_learner(opt)
+    manager = DatasetManager(opt, dataset_factory=source.train_factory)
+    valid_datas = []
+    n_tasks = len(opt.lan_list)
+    t0 = time.time()
+    for taski in range(n_tasks):
+        valid_datas.append(f"synth_test/{opt.lan_list[taski]}")
+        manager.joint_start(opt, opt.select_data, log, taski, n_tasks)
+    character = source.cumulative_character(n_tasks - 1)
+    val_ds = ValDataset(valid_datas, opt, dataset_factory=source.val_factory)
+    best_scores, ned_scores = learner.incremental_train(
+        0, character, manager, val_ds, valid_datas=valid_datas,
+        val_dataset_builder=_val_builder(opt, source))
+    best_scores, ned_scores = learner.test(
+        valid_datas, best_scores or [], ned_scores or [], 0,
+        val_dataset_builder=_val_builder(opt, source))
+    row = _matrix_row(learner, opt, source, n_tasks - 1)
+    print(f"[{opt.il}] joint row={row} ({time.time() - t0:.0f}s)", flush=True)
+    return learner, [round(sum(row) / len(row), 2)], [row], \
+        [round(time.time() - t0, 1)]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--il", required=True,
+                    choices=["base", "ewc", "lwf", "wa", "der", "mrn",
+                             "joint_mix", "joint_loader"])
+    ap.add_argument("--num_iter", type=int, default=1250)  # 10000/8
+    ap.add_argument("--batch_size", type=int, default=256)
+    ap.add_argument("--out", default="ACCURACY_RUNS")
+    ap.add_argument("--seed", type=int, default=111)
+    ap.add_argument("--platform", default=None, help="cpu to force CPU")
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny model dims + 1/10 data (wiring check only)")
+    ap.add_argument("--tasks", type=int, default=6,
+                    help="run only the first N tasks (pilots)")
+    args = ap.parse_args()
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+
+    global N_TRAIN, N_TEST
+    model_dims = dict(output_channel=512, hidden_size=256)
+    if args.smoke:
+        model_dims = dict(output_channel=64, hidden_size=32)
+        N_TRAIN = [max(8, n // 10) for n in N_TRAIN]
+        N_TEST = [max(8, n // 10) for n in N_TEST]
+
+    opt = default_options(
+        exp_name=f"acc_{args.il}", il=args.il,
+        memory="random" if args.il in MEMORY_ILS else None,
+        memory_num=250,                       # 2000/8
+        batch_size=args.batch_size, num_iter=args.num_iter,
+        val_interval=max(1, args.num_iter // 2),
+        batch_max_length=25, imgH=32, imgW=256,
+        lan_list=LANS[:args.tasks], select_data=["synth_train"],
+        **model_dims,
+        valid_datas=["synth_test"], workers=0, NED=True,
+        manual_seed=args.seed,
+        fisher_num_iter=max(1, args.num_iter // 4),  # EWC budget, scaled
+        output_dir=os.path.join(args.out, "saved"),
+        data_log=os.path.join(args.out, f"data_{args.il}.txt"))
+
+    os.makedirs(args.out, exist_ok=True)
+    log = ExperimentLog(opt.exp_name, opt.output_dir, opt.data_log, echo=False)
+    t_build = time.time()
+    source = build_source(opt, seed=args.seed)
+    print(f"suite built in {time.time() - t_build:.0f}s "
+          f"(train={sum(N_TRAIN)} test={sum(N_TEST)} imgs)", flush=True)
+
+    t0 = time.time()
+    if args.il in ("joint_mix", "joint_loader"):
+        learner, aia, matrix, times = run_joint(opt, source, log)
+    else:
+        learner, aia, matrix, times = run_incremental(opt, source, log)
+
+    final_row = matrix[-1]
+    # average forgetting: best-seen (diagonal) minus final, over tasks 0..n-2
+    if len(matrix) > 1:
+        forgetting = round(sum(matrix[j][j] - final_row[j]
+                               for j in range(len(final_row) - 1))
+                           / (len(final_row) - 1), 2)
+    else:
+        forgetting = 0.0
+    result = {
+        "il": args.il, "num_iter": args.num_iter,
+        "batch_size": args.batch_size, "seed": args.seed,
+        "classes": CLASSES, "n_train": N_TRAIN, "n_test": N_TEST,
+        "aia_per_stage": aia, "final_aia": aia[-1],
+        "acc_matrix": matrix, "final_row": final_row,
+        "avg_forgetting": forgetting,
+        "stage_seconds": times, "total_seconds": round(time.time() - t0, 1),
+    }
+    path = os.path.join(args.out, f"{args.il}.json")
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps({k: result[k] for k in
+                      ("il", "final_aia", "avg_forgetting", "final_row",
+                       "total_seconds")}), flush=True)
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()

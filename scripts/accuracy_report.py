@@ -1,0 +1,86 @@
+"""Assemble ACCURACY.md from ACCURACY_RUNS/<il>.json files produced by
+scripts/accuracy_campaign.py.
+
+    python scripts/accuracy_report.py [--runs ACCURACY_RUNS] [--out ACCURACY.md]
+"""
+
+import argparse
+import glob
+import json
+import os
+
+ORDER = ["base", "ewc", "lwf", "wa", "der", "mrn", "joint_mix", "joint_loader"]
+LANS = ["Chinese", "Latin", "Japanese", "Korean", "Arabic", "Bangla"]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--runs", default="ACCURACY_RUNS")
+    ap.add_argument("--out", default="ACCURACY.md")
+    args = ap.parse_args()
+
+    results = {}
+    for path in glob.glob(os.path.join(args.runs, "*.json")):
+        with open(path, encoding="utf-8") as f:
+            r = json.load(f)
+        results[r["il"]] = r
+    ils = [il for il in ORDER if il in results]
+    if not ils:
+        raise SystemExit(f"no runs found in {args.runs}")
+
+    first = results[ils[0]]
+    lines = [
+        "# ACCURACY — 6-task synthetic AIA campaign (MLT17-shape proxy)\n",
+        "\nProtocol: reference il_modules/base.py:363-436 — per task, train,"
+        " reload the best checkpoint, evaluate ALL seen tasks; AIA = mean"
+        " over stages of the per-stage mean accuracy.  Suite: 6 tasks in the"
+        " reference order with the reference's per-task class counts"
+        f" {first['classes']} (README.md:100), instance counts"
+        f" {first['n_train']} train / {first['n_test']} test (1/8 of MLT17),"
+        f" batch {first['batch_size']}, {first['num_iter']} iters/task"
+        " (1/8 of the reference's 10k), Adam 5e-4 + OneCycle, clip 5, seed"
+        f" {first['seed']}, 32x256 RGBA, CRNN backbone, run on TPU.\n",
+        "\n## Headline: final AIA + average forgetting\n",
+        "\n| Strategy | Final AIA % | Avg forgetting % | Final per-task row |"
+        " Wall time |",
+        "|---|---|---|---|---|",
+    ]
+    for il in ils:
+        r = results[il]
+        lines.append(
+            f"| {il} | **{r['final_aia']:.2f}** | {r['avg_forgetting']:.2f} |"
+            f" {r['final_row']} | {r['total_seconds']:.0f}s |")
+
+    lines.append("\n## AIA per stage (incremental curve)\n")
+    header = "| Strategy | " + " | ".join(
+        f"T{i} {LANS[i][:2]}" for i in range(6)) + " |"
+    lines += [header, "|---|" + "---|" * 6]
+    for il in ils:
+        r = results[il]
+        vals = r["aia_per_stage"]
+        row = [f"{v:.2f}" for v in vals] + ["—"] * (6 - len(vals))
+        lines.append(f"| {il} | " + " | ".join(row) + " |")
+
+    lines.append("\n## Accuracy matrices (rows = after task i; cols = task j)\n")
+    for il in ils:
+        r = results[il]
+        lines.append(f"\n### {il}\n")
+        lines.append("| after \\ task | " + " | ".join(
+            LANS[:len(r['final_row'])]) + " |")
+        lines.append("|---|" + "---|" * len(r["final_row"]))
+        for i, row in enumerate(r["acc_matrix"]):
+            cells = [f"{v:.1f}" for v in row] + \
+                ["—"] * (len(r["final_row"]) - len(row))
+            lines.append(f"| {i} | " + " | ".join(cells) + " |")
+
+    lines.append(
+        "\n\nOrdering acceptance (paper's qualitative result): "
+        "base < regularization methods (ewc/lwf) < wa < der < mrn ≈ joint.\n"
+        "See BASELINE.md for the paper-table targets and caveats.\n")
+    with open(args.out, "w", encoding="utf-8") as f:
+        f.write("\n".join(lines))
+    print(f"wrote {args.out} ({len(ils)} strategies: {ils})")
+
+
+if __name__ == "__main__":
+    main()

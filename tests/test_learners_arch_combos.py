@@ -25,6 +25,24 @@ def test_mrn_with_attn_decoder(tmp_path):
     assert learner.expert_params[0]["prediction"]["char_embeddings"].shape[0] == c0
 
 
+def test_mrn_with_trba(tmp_path):
+    """Full TRBA (TPS + ResNet + BiLSTM + Attn) through MRN expert stacking:
+    grid-sample inside nn.vmap, per-expert fiducial localization nets."""
+    from mrn_tpu.train.learners.mrn import MRN
+    opt = tiny_opt(il="mrn", memory="random", memory_num=8, num_iter=3,
+                   val_interval=3, lan_list=["T0", "T1"], batch_max_length=6,
+                   Transformation="TPS", FeatureExtraction="ResNet",
+                   SequenceModeling="BiLSTM", Prediction="Attn",
+                   output_dir=str(tmp_path / "s"), data_log=str(tmp_path / "d.txt"))
+    source = make_source(opt)
+    learner = MRN(opt)
+    best, _ = run_tasks(learner, opt, source, 2, tmp_path)
+    assert len(learner.expert_params) == 2
+    assert len(best) == 2 and all(np.isfinite(best))
+    # each stacked expert carries its own TPS localization net
+    assert "transformation" in learner.expert_params[0]
+
+
 def test_der_with_svtr_backbone(tmp_path):
     from mrn_tpu.train.learners.der import DER
     opt = tiny_opt(il="der", memory="random", memory_num=8, num_iter=3,

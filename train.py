@@ -99,6 +99,9 @@ def main():
                         help="reference-format python config file")
     parser.add_argument("--data_parallel", type=int, default=None,
                         help="shard the batch over this many devices")
+    parser.add_argument("--expert_parallel", type=int, default=None,
+                        help="shard MRN's stacked expert axis over this many "
+                             "devices (2-D data x expert mesh)")
     parser.add_argument("--profile", default=None,
                         help="capture a jax.profiler trace to this directory")
     args = parser.parse_args()
@@ -107,7 +110,11 @@ def main():
     random.seed(opt.manual_seed)
     np.random.seed(opt.manual_seed)
 
-    if args.data_parallel:
+    expert_par = args.expert_parallel or opt.get("expert_parallel", 1)
+    if expert_par and expert_par > 1:
+        from mrn_tpu.parallel.mesh import set_expert_parallel
+        set_expert_parallel(expert_par, data=args.data_parallel)
+    elif args.data_parallel:
         set_data_parallel(args.data_parallel)
 
     log = ExperimentLog(opt.exp_name, opt.get("output_dir", "./saved_models"),
