@@ -33,51 +33,67 @@ def lstm_cell_step(gates_x, h, c, w_hh):
     return h_new, c_new
 
 
-class _DirectionalLSTM(nn.Module):
+class _LSTMParams(nn.Module):
+    """One direction's weights in torch layout (scope name = "fwd"/"bwd" so
+    checkpoints and the torch-parity tests keep their param paths)."""
+
     hidden_size: int
-    reverse: bool = False
+    in_size: int
 
     @nn.compact
-    def __call__(self, x):
-        """x: [B, T, in] -> [B, T, H]"""
-        b, t, in_size = x.shape
+    def __call__(self):
         h = self.hidden_size
         init = torch_lstm_default(h)
-        w_ih = self.param("w_ih", init, (4 * h, in_size))
-        w_hh = self.param("w_hh", init, (4 * h, h))
-        b_ih = self.param("b_ih", init, (4 * h,))
-        b_hh = self.param("b_hh", init, (4 * h,))
-
-        if self.reverse:
-            x = jnp.flip(x, axis=1)
-        # One MXU matmul for all timesteps' input projections (accumulates in
-        # f32 on the MXU; output keeps the input dtype so the scan carry dtype
-        # is stable under bf16 inference).
-        gates_x = jnp.einsum("bti,gi->btg", x, w_ih) + b_ih + b_hh
-
-        def step(carry, gx):
-            hh, cc = carry
-            hh, cc = lstm_cell_step(gx, hh, cc, w_hh)
-            return (hh, cc), hh
-
-        h0 = jnp.zeros((b, h), x.dtype)
-        c0 = jnp.zeros((b, h), x.dtype)
-        _, out = jax.lax.scan(step, (h0, c0), jnp.swapaxes(gates_x, 0, 1))
-        out = jnp.swapaxes(out, 0, 1)
-        if self.reverse:
-            out = jnp.flip(out, axis=1)
-        return out
+        return (self.param("w_ih", init, (4 * h, self.in_size)),
+                self.param("w_hh", init, (4 * h, h)),
+                self.param("b_ih", init, (4 * h,)),
+                self.param("b_hh", init, (4 * h,)))
 
 
 class TorchLSTM(nn.Module):
-    """torch nn.LSTM(bidirectional=True, batch_first=True) equivalent."""
+    """torch nn.LSTM(bidirectional=True, batch_first=True) equivalent.
+
+    Both directions run in ONE direction-batched lax.scan: the carries are
+    [2, B, H] and each step's recurrence is a batched matmul over the leading
+    direction axis, so the sequential-step count is T instead of 2T and each
+    step feeds the MXU twice the work.  Input projections for all timesteps
+    remain one big MXU matmul outside the scan.
+    """
 
     hidden_size: int
 
     @nn.compact
     def __call__(self, x):
-        fwd = _DirectionalLSTM(self.hidden_size, reverse=False, name="fwd")(x)
-        bwd = _DirectionalLSTM(self.hidden_size, reverse=True, name="bwd")(x)
+        b, t, in_size = x.shape
+        h = self.hidden_size
+        fw_ih, fw_hh, fb_ih, fb_hh = _LSTMParams(h, in_size, name="fwd")()
+        bw_ih, bw_hh, bb_ih, bb_hh = _LSTMParams(h, in_size, name="bwd")()
+
+        w_ih = jnp.stack([fw_ih, bw_ih])          # [2, 4H, in]
+        w_hh = jnp.stack([fw_hh, bw_hh])          # [2, 4H, H]
+        bias = jnp.stack([fb_ih + fb_hh, bb_ih + bb_hh])  # [2, 4H]
+
+        x2 = jnp.stack([x, jnp.flip(x, axis=1)])  # [2, B, T, in]
+        # One MXU matmul for all timesteps' input projections (accumulates in
+        # f32 on the MXU; output keeps the input dtype so the scan carry dtype
+        # is stable under bf16 inference).
+        gates_x = jnp.einsum("dbti,dgi->tdbg", x2, w_ih) + bias[:, None, :]
+
+        def step(carry, gx):
+            hh, cc = carry  # [2, B, H]
+            gates = gx + jnp.einsum("dbh,dgh->dbg", hh, w_hh)
+            i = jax.nn.sigmoid(gates[..., 0 * h:1 * h])
+            f = jax.nn.sigmoid(gates[..., 1 * h:2 * h])
+            g = jnp.tanh(gates[..., 2 * h:3 * h])
+            o = jax.nn.sigmoid(gates[..., 3 * h:4 * h])
+            cc = f * cc + i * g
+            hh = o * jnp.tanh(cc)
+            return (hh, cc), hh
+
+        zeros = jnp.zeros((2, b, h), x.dtype)
+        _, out = jax.lax.scan(step, (zeros, zeros), gates_x)  # [T, 2, B, H]
+        fwd = jnp.swapaxes(out[:, 0], 0, 1)
+        bwd = jnp.flip(jnp.swapaxes(out[:, 1], 0, 1), axis=1)
         return jnp.concatenate([fwd, bwd], axis=-1)
 
 
