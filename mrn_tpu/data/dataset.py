@@ -17,8 +17,28 @@ from typing import List, Sequence
 import numpy as np
 import PIL.Image
 
-__all__ = ["ArrayDataset", "LmdbDataset", "RawDataset", "ConcatDataset",
-           "Subset", "IndexConcatDataset", "hierarchical_dataset"]
+__all__ = ["ArrayDataset", "BankDataset", "LmdbDataset", "RawDataset",
+           "ConcatDataset", "Subset", "IndexConcatDataset",
+           "hierarchical_dataset"]
+
+
+class BankDataset:
+    """Items are (global bank index, label): the images live in a
+    device-resident uint8 bank (see SyntheticSource.device_bank) and the host
+    pipeline moves only int32 indices — the HBM-resident dataset cache for
+    suites that fit on chip.  Gather + normalize happen on device
+    (BaseLearner._device_images), so each train step's H2D transfer is ~1KB
+    of indices instead of a 33MB float32 batch."""
+
+    def __init__(self, start: int, labels: Sequence[str]):
+        self.start = start
+        self.labels = labels
+
+    def __len__(self):
+        return len(self.labels)
+
+    def __getitem__(self, idx):
+        return np.int32(self.start + idx), self.labels[idx]
 
 
 class ArrayDataset:

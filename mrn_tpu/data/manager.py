@@ -68,7 +68,11 @@ class EpochLoader:
             pad = self.batch_size - n_valid
             images += [np.zeros_like(images[0])] * pad
             labels += [""] * pad
-        batch = np.stack(images).astype(np.float32)
+        batch = np.stack(images)
+        # bank-index batches stay int32 (device-side gather); image batches
+        # are float32
+        batch = batch.astype(np.int32 if np.issubdtype(batch.dtype, np.integer)
+                             else np.float32)
         if self.with_index:
             return batch, labels, np.asarray(idxs, dtype=np.int32)
         if self.pad_to_batch:

@@ -142,13 +142,41 @@ class SyntheticSource:
 
     def __init__(self, task_alphabets: Sequence[str], lan_list: Sequence[str],
                  n_train=64, n_test=16, img_h: int = 32,
-                 img_w: int = 64, seed: int = 0, **suite_kw):
+                 img_w: int = 64, seed: int = 0, device_bank: bool = False,
+                 **suite_kw):
+        if device_bank:
+            # the bank stores raw uint8 renders; normalization happens on
+            # device (BaseLearner._device_images)
+            suite_kw = dict(suite_kw, pretransformed=False)
         trains, tests, dicts = make_task_suite(task_alphabets, n_train, n_test,
                                                img_h, img_w, seed, **suite_kw)
         self.lan_list = list(lan_list)
+        self.bank = None
+        self._bank_dev = None
+        if device_bank:
+            from mrn_tpu.data.dataset import BankDataset
+            chunks, offset = [], 0
+            for store in (trains, tests):
+                for i, ds in enumerate(store):
+                    chunks.append(np.stack(ds.images))
+                    store[i] = BankDataset(offset, ds.labels)
+                    offset += len(ds.labels)
+            self.bank = np.concatenate(chunks, axis=0)
         self.trains: Dict[str, ArrayDataset] = dict(zip(lan_list, trains))
         self.tests: Dict[str, ArrayDataset] = dict(zip(lan_list, tests))
         self.dicts: Dict[str, List[str]] = dict(zip(lan_list, dicts))
+
+    def device_bank(self):
+        """The whole suite as one device-resident uint8 array [N, H, W, 4];
+        uploaded once, then every loader batch is just int32 indices into it
+        (the HBM-resident dataset cache — the TPU-idiomatic feed for suites
+        that fit on chip)."""
+        if self.bank is None:
+            return None
+        if self._bank_dev is None:
+            import jax
+            self._bank_dev = jax.device_put(self.bank)
+        return self._bank_dev
 
     def train_factory(self, data_root: str, taski: int, mode: str):
         return self.trains[self.lan_list[taski]]

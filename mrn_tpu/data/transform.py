@@ -35,6 +35,8 @@ class ResizeNormalize:
     def __call__(self, image) -> np.ndarray:
         if isinstance(image, np.ndarray) and image.dtype == np.float32:
             return image  # already transformed (ArrayDataset fast path)
+        if isinstance(image, (int, np.integer)):
+            return image  # bank index (BankDataset): gather happens on device
         image = image.resize(self.size, PIL.Image.BICUBIC)
         return _to_array(image)
 

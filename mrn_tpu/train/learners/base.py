@@ -154,11 +154,25 @@ class BaseLearner:
                                                grad_transform=self.grad_transform())
         return self._train_step
 
+    def _device_images(self, images):
+        """Host image batches move to device as-is; int32 batches are indices
+        into the device-resident image bank (opt.image_bank) — gather +
+        normalize are dispatched as device ops, so nothing but the indices
+        crosses the host-device link."""
+        images = np.asarray(images)
+        if np.issubdtype(images.dtype, np.integer):
+            bank = self.opt.get("image_bank")
+            if bank is None:
+                raise ValueError("bank-index batch but opt.image_bank is unset")
+            img = jnp.take(bank, shard_batch(jnp.asarray(images)), axis=0)
+            return (img.astype(jnp.float32) / 255.0 - 0.5) / 0.5
+        return shard_batch(jnp.asarray(images))
+
     def _encode_batch(self, images, labels):
         labels_index, lengths = self.converter.encode(
             labels, batch_max_length=self.opt.batch_max_length)
         return {
-            "image": shard_batch(jnp.asarray(images)),
+            "image": self._device_images(images),
             "label": jnp.asarray(labels_index),
             "length": jnp.asarray(lengths),
         }
@@ -222,16 +236,27 @@ class BaseLearner:
             prefetcher = Prefetcher(get_batch, depth=2)
             get_batch = prefetcher
 
+        pending_losses = []
         for iteration in range(start_iter + 1, num_iter + 1):
             fetched = get_batch()
             batch = self._encode_batch(fetched[0], fetched[1])
             if len(fetched) > 2:
                 batch["dataset_idx"] = jnp.asarray(fetched[2])
             state, metrics = train_step(state, batch, self._next_rng(), aux)
-            train_loss_avg.add(np.asarray(metrics["loss"]))
+            # keep the loss as an async device value: forcing it every step
+            # would serialize the loop on a host<->device round-trip per
+            # iteration (dispatch stays pipelined; syncing a 64-step-old loss
+            # bounds the in-flight queue without stalling the pipeline)
+            pending_losses.append(metrics["loss"])
+            if len(pending_losses) > 64:
+                train_loss_avg.add(np.asarray(pending_losses.pop(0)))
             meter.tick(len(fetched[1]))
 
             if iteration % val_interval == 0 or iteration == 1 or iteration == num_iter:
+                if pending_losses:
+                    for loss in np.asarray(jnp.stack(pending_losses)):
+                        train_loss_avg.add(loss)
+                    pending_losses = []
                 self.log.write(f"[{iteration}/{num_iter}] {meter.report()}\n")
                 meter.reset()
                 self.params, self.batch_stats, self.opt_state = \
@@ -331,7 +356,7 @@ class BaseLearner:
 
         def eval_batch(images, labels_index, lengths):
             return eval_fn(self.params, self.batch_stats,
-                           shard_batch(jnp.asarray(images)),
+                           self._device_images(images),
                            jnp.asarray(labels_index), jnp.asarray(lengths))
 
         cache[cache_key] = (models, eval_batch)

@@ -53,7 +53,7 @@ def build_source(opt, seed=111):
     return SyntheticSource(spans, LANS, n_train=N_TRAIN, n_test=N_TEST,
                            img_h=opt.imgH, img_w=opt.imgW, seed=seed,
                            min_len=1, max_len=10, renderer="bits",
-                           pretransformed=True)
+                           device_bank=True)
 
 
 def _val_builder(opt, source):
@@ -150,15 +150,17 @@ def main():
 
     global N_TRAIN, N_TEST
     model_dims = dict(output_channel=512, hidden_size=256)
+    memory_num = 250                                   # 2000/8
     if args.smoke:
         model_dims = dict(output_channel=64, hidden_size=32)
         N_TRAIN = [max(8, n // 10) for n in N_TRAIN]
         N_TEST = [max(8, n // 10) for n in N_TEST]
+        memory_num = 16  # must stay below the smallest smoke task size
 
     opt = default_options(
         exp_name=f"acc_{args.il}", il=args.il,
         memory="random" if args.il in MEMORY_ILS else None,
-        memory_num=250,                       # 2000/8
+        memory_num=memory_num,
         batch_size=args.batch_size, num_iter=args.num_iter,
         val_interval=max(1, args.num_iter // 2),
         batch_max_length=25, imgH=32, imgW=256,
@@ -174,8 +176,13 @@ def main():
     log = ExperimentLog(opt.exp_name, opt.output_dir, opt.data_log, echo=False)
     t_build = time.time()
     source = build_source(opt, seed=args.seed)
+    # HBM-resident image bank: every loader batch is int32 indices; gather +
+    # normalize run on device (the tunneled H2D link would otherwise dominate
+    # at 33MB/step)
+    opt.image_bank = source.device_bank()
     print(f"suite built in {time.time() - t_build:.0f}s "
-          f"(train={sum(N_TRAIN)} test={sum(N_TEST)} imgs)", flush=True)
+          f"(train={sum(N_TRAIN)} test={sum(N_TEST)} imgs, "
+          f"bank={source.bank.nbytes >> 20}MB on device)", flush=True)
 
     t0 = time.time()
     if args.il in ("joint_mix", "joint_loader"):

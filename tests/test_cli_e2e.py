@@ -39,6 +39,7 @@ def _build_lmdb_tree(root, lan, alphabet, n, seed, img_w):
 
 
 @pytest.mark.parametrize("il", ["base", "mrn"])
+@pytest.mark.slow
 def test_train_cli_end_to_end(tmp_path, il):
     import train as train_mod
 

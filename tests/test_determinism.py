@@ -19,6 +19,7 @@ def _train_once(tmp_path, tag):
     return learner.params
 
 
+@pytest.mark.slow
 def test_training_is_deterministic_under_fixed_seed(tmp_path):
     p1 = _train_once(tmp_path, "a")
     p2 = _train_once(tmp_path, "b")

@@ -8,6 +8,7 @@ from mrn_tpu.train.learners.base import BaseLearner
 from helpers import make_manager, make_source, make_val, run_tasks, tiny_opt
 
 
+@pytest.mark.slow
 def test_base_learner_single_task(tmp_path):
     opt = tiny_opt(num_iter=8, val_interval=4,
                    output_dir=str(tmp_path / "saved"),
@@ -24,6 +25,7 @@ def test_base_learner_single_task(tmp_path):
     assert len(ckpts) == 1
 
 
+@pytest.mark.slow
 def test_base_learner_two_tasks_grows_classes(tmp_path):
     opt = tiny_opt(num_iter=4, val_interval=2, lan_list=["T0", "T1"],
                    output_dir=str(tmp_path / "saved"),
@@ -72,6 +74,7 @@ def test_base_learner_loss_decreases(tmp_path):
     assert last < first * 0.8, (first, last)
 
 
+@pytest.mark.slow
 def test_start_task_resume(tmp_path):
     opt = tiny_opt(num_iter=4, val_interval=2, lan_list=["T0"],
                    output_dir=str(tmp_path / "saved"),

@@ -7,6 +7,8 @@ import pytest
 
 from helpers import make_source, run_tasks, tiny_opt
 
+pytestmark = pytest.mark.slow
+
 
 def test_mrn_with_attn_decoder(tmp_path):
     from mrn_tpu.train.learners.mrn import MRN
@@ -39,8 +41,9 @@ def test_mrn_with_trba(tmp_path):
     best, _ = run_tasks(learner, opt, source, 2, tmp_path)
     assert len(learner.expert_params) == 2
     assert len(best) == 2 and all(np.isfinite(best))
-    # each stacked expert carries its own TPS localization net
-    assert "transformation" in learner.expert_params[0]
+    # each stacked expert carries its own TPS localization net (the TPS
+    # module lives inside the extractor scope, composer.py:58-60)
+    assert "transformation" in learner.expert_params[0]["extractor"]
 
 
 def test_der_with_svtr_backbone(tmp_path):

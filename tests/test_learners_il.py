@@ -16,6 +16,7 @@ def _run(learner_cls, opt, tmp_path, n_tasks=2):
     return learner, best
 
 
+@pytest.mark.slow
 def test_lwf(tmp_path):
     from mrn_tpu.train.learners.lwf import LwF
     opt = tiny_opt(il="lwf", num_iter=4, val_interval=2, lan_list=["T0", "T1"],
@@ -24,6 +25,7 @@ def test_lwf(tmp_path):
     assert learner._old_params is not None
 
 
+@pytest.mark.slow
 def test_wa_aligns_weights(tmp_path):
     from mrn_tpu.train.learners.wa import WA
     opt = tiny_opt(il="wa", num_iter=4, val_interval=2, lan_list=["T0", "T1"],
@@ -32,6 +34,7 @@ def test_wa_aligns_weights(tmp_path):
     assert learner.taski == 1
 
 
+@pytest.mark.slow
 def test_ewc_builds_fisher(tmp_path):
     from mrn_tpu.train.learners.ewc import EWC
     opt = tiny_opt(il="ewc", num_iter=4, val_interval=2, lan_list=["T0", "T1"],
@@ -45,6 +48,7 @@ def test_ewc_builds_fisher(tmp_path):
         assert float(np.max(np.asarray(leaf))) <= 1e-4 + 1e-9
 
 
+@pytest.mark.slow
 def test_der_expands_and_freezes(tmp_path):
     from mrn_tpu.train.learners.der import DER
     opt = tiny_opt(il="der", memory="random", num_iter=4, val_interval=2,
@@ -71,6 +75,7 @@ def test_der_expands_and_freezes(tmp_path):
                                   frozen_snapshots["after"])
 
 
+@pytest.mark.slow
 def test_mrn_two_tasks(tmp_path):
     from mrn_tpu.train.learners.mrn import MRN
     opt = tiny_opt(il="mrn", memory="random", memory_num=8, num_iter=4,

@@ -16,6 +16,7 @@ def test_virtual_devices_present():
     assert len(jax.devices()) == 8
 
 
+@pytest.mark.slow
 def test_sharded_train_step_matches_single_device(tmp_path):
     """The same jitted CRNN train step must produce identical params whether
     the batch is sharded over 8 devices or runs on one (XLA inserts the grad
@@ -39,6 +40,7 @@ def test_sharded_train_step_matches_single_device(tmp_path):
     np.testing.assert_allclose(results[1], results[8], atol=2e-5)
 
 
+@pytest.mark.slow
 def test_expert_parallel_matches_replicated():
     """MRN routed logits on a 2-D (data x expert) mesh must equal the
     unsharded result — XLA partitions the vmapped expert stack over the
