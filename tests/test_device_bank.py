@@ -1,0 +1,64 @@
+"""Device-resident image bank: loaders move int32 indices; gather + normalize
+run on device (BankDataset / SyntheticSource.device_bank /
+BaseLearner._device_images)."""
+
+import jax
+import numpy as np
+
+from mrn_tpu.data.manager import EpochLoader, ValDataset
+from mrn_tpu.data.synthetic import SyntheticSource
+from mrn_tpu.data.transform import ResizeNormalize
+from mrn_tpu.train.learners.base import BaseLearner
+
+from helpers import make_manager, tiny_opt
+
+
+def _banked_source(opt, n_train=16, n_test=8):
+    alphabets = ["abc", "def"][: len(opt.lan_list)]
+    return SyntheticSource(alphabets, opt.lan_list, n_train=n_train,
+                           n_test=n_test, img_h=opt.imgH, img_w=opt.imgW,
+                           seed=0, device_bank=True)
+
+
+def test_bank_batches_are_indices_and_gather_matches_host():
+    opt = tiny_opt(lan_list=["T0", "T1"])
+    source = _banked_source(opt)
+    assert source.bank.dtype == np.uint8
+    loader = EpochLoader(source.trains["T0"], batch_size=4,
+                         transform=ResizeNormalize((opt.imgW, opt.imgH)),
+                         shuffle=False, rng=np.random.default_rng(0))
+    images, labels = loader.next_batch()
+    assert images.dtype == np.int32 and images.shape == (4,)
+
+    opt.image_bank = source.device_bank()
+    learner = BaseLearner(opt)
+    dev = np.asarray(learner._device_images(images))
+    # host reference: same normalize over the raw uint8 bank rows
+    ref = (source.bank[images].astype(np.float32) / 255.0 - 0.5) / 0.5
+    np.testing.assert_allclose(dev, ref, atol=1e-6)
+    assert labels == list(source.trains["T0"].labels[:4])
+
+
+def test_bank_eval_loader_pads_with_index_zero():
+    opt = tiny_opt(lan_list=["T0", "T1"], batch_size=8)
+    source = _banked_source(opt, n_test=5)
+    vd = ValDataset(["synth_test/T0"], opt, dataset_factory=source.val_factory)
+    loader = vd.create_dataset()
+    images, labels, n_valid = loader.next_batch()
+    assert images.dtype == np.int32 and len(images) == 8
+    assert n_valid == 5 and all(lb == "" for lb in labels[5:])
+
+
+def test_banked_learner_trains_end_to_end(tmp_path):
+    opt = tiny_opt(lan_list=["T0"], num_iter=4, val_interval=2,
+                   output_dir=str(tmp_path / "s"),
+                   data_log=str(tmp_path / "d.txt"))
+    source = _banked_source(opt)
+    opt.image_bank = source.device_bank()
+    learner = BaseLearner(opt)
+    manager = make_manager(opt, source)
+    manager.init_start(opt, opt.select_data, None, 0)
+    val = ValDataset(["synth_test/T0"], opt, dataset_factory=source.val_factory)
+    learner.incremental_train(0, source.cumulative_character(0), manager, val)
+    assert all(np.all(np.isfinite(np.asarray(leaf)))
+               for leaf in jax.tree_util.tree_leaves(learner.params))
