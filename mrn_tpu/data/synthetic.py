@@ -81,21 +81,39 @@ def make_task_dataset(alphabet: str, n_samples: int, img_h: int = 32,
                       img_w: int = 64, min_len: int = 1, max_len: int = 4,
                       seed: int = 0, renderer: str = "bands",
                       pretransformed: bool = False,
-                      char_to_idx: Dict[str, int] = None) -> ArrayDataset:
+                      char_to_idx: Dict[str, int] = None,
+                      zipf: float = 0.0) -> ArrayDataset:
     """renderer="bands" (intensity code, small alphabets) or "bits" (block
     pattern, MLT-scale alphabets).  pretransformed=True stores normalized
     float32 arrays that skip the per-batch PIL resize path entirely (the
     in-memory fast feed for single-core hosts).  ``char_to_idx`` overrides the
     bit-pattern index mapping — pass a GLOBAL (cross-task) mapping so task
-    identity stays readable from the rendering (make_task_suite does)."""
+    identity stays readable from the rendering (make_task_suite does).
+
+    ``zipf`` > 0 draws characters from a Zipf(s=zipf) distribution over the
+    alphabet (rank = alphabet order) and biases word lengths short
+    (p(L) ~ 1/L) — matching real scene text, where frequent characters
+    dominate both train and test and words skew short; with uniform sampling
+    a 1895-class task (MLT17 Chinese, README.md:100) is unlearnable at the
+    reference's instance counts, while real MLT is not."""
     rng = np.random.default_rng(seed)
     if char_to_idx is None:
         char_to_idx = {ch: i for i, ch in enumerate(alphabet)}
     chars = list(alphabet)
+    char_p = None
+    len_p = None
+    if zipf > 0:
+        char_p = 1.0 / np.arange(1, len(chars) + 1) ** zipf
+        char_p /= char_p.sum()
+        len_p = 1.0 / np.arange(min_len, max_len + 1)
+        len_p /= len_p.sum()
     images, labels = [], []
     for _ in range(n_samples):
-        length = int(rng.integers(min_len, max_len + 1))
-        word = "".join(rng.choice(chars, size=length))
+        if len_p is not None:
+            length = int(rng.choice(np.arange(min_len, max_len + 1), p=len_p))
+        else:
+            length = int(rng.integers(min_len, max_len + 1))
+        word = "".join(rng.choice(chars, size=length, p=char_p))
         if renderer == "bits":
             img = synth_word_image_bits(word, char_to_idx, img_h, img_w, rng)
         else:
@@ -110,7 +128,8 @@ def make_task_dataset(alphabet: str, n_samples: int, img_h: int = 32,
 def make_task_suite(task_alphabets: Sequence[str], n_train, n_test,
                     img_h: int = 32, img_w: int = 64, seed: int = 0,
                     min_len: int = 1, max_len: int = 4,
-                    renderer: str = "bands", pretransformed: bool = False):
+                    renderer: str = "bands", pretransformed: bool = False,
+                    zipf: float = 0.0):
     """Per-task train/test ArrayDatasets + per-task dict lists (the synthetic
     MLT17-like incremental suite).  ``n_train``/``n_test`` may be ints or
     per-task sequences (to echo MLT's skewed per-task instance counts).
@@ -126,7 +145,7 @@ def make_task_suite(task_alphabets: Sequence[str], n_train, n_test,
         nt = n_train[i] if isinstance(n_train, (list, tuple)) else n_train
         nv = n_test[i] if isinstance(n_test, (list, tuple)) else n_test
         kw = dict(img_h=img_h, img_w=img_w, min_len=min_len, max_len=max_len,
-                  renderer=renderer, pretransformed=pretransformed,
+                  renderer=renderer, pretransformed=pretransformed, zipf=zipf,
                   char_to_idx=global_map if renderer == "bits" else None)
         trains.append(make_task_dataset(alphabet, nt, seed=seed + 2 * i, **kw))
         tests.append(make_task_dataset(alphabet, nv, seed=seed + 2 * i + 1,
@@ -165,6 +184,37 @@ class SyntheticSource:
         self.trains: Dict[str, ArrayDataset] = dict(zip(lan_list, trains))
         self.tests: Dict[str, ArrayDataset] = dict(zip(lan_list, tests))
         self.dicts: Dict[str, List[str]] = dict(zip(lan_list, dicts))
+
+    def save(self, path: str):
+        """Persist a bank-mode suite (uint8 bank + per-split labels) so
+        multi-run campaigns render once."""
+        assert self.bank is not None, "save() requires device_bank mode"
+        payload = {"bank": self.bank}
+        for split, store in (("train", self.trains), ("test", self.tests)):
+            for lan, ds in store.items():
+                payload[f"{split}_{lan}_start"] = np.int64(ds.start)
+                payload[f"{split}_{lan}_labels"] = np.array(ds.labels)
+        np.savez(path if path.endswith(".npz") else path + ".npz", **payload)
+
+    @classmethod
+    def load(cls, path: str, lan_list: Sequence[str],
+             task_alphabets: Sequence[str]):
+        """Rebuild a bank-mode suite saved by ``save`` (alphabets are cheap to
+        recompute, so they are passed in rather than stored)."""
+        from mrn_tpu.data.dataset import BankDataset
+        src = cls.__new__(cls)
+        with np.load(path) as z:
+            src.bank = z["bank"]
+            src.lan_list = list(lan_list)
+            src._bank_dev = None
+            src.trains, src.tests = {}, {}
+            for split, store in (("train", src.trains), ("test", src.tests)):
+                for lan in lan_list:
+                    store[lan] = BankDataset(
+                        int(z[f"{split}_{lan}_start"]),
+                        [str(s) for s in z[f"{split}_{lan}_labels"]])
+        src.dicts = {lan: list(a) for lan, a in zip(lan_list, task_alphabets)}
+        return src
 
     def device_bank(self):
         """The whole suite as one device-resident uint8 array [N, H, W, 4];
