@@ -17,9 +17,64 @@ from typing import List, Sequence
 import numpy as np
 import PIL.Image
 
-__all__ = ["ArrayDataset", "BankDataset", "LmdbDataset", "RawDataset",
-           "ConcatDataset", "Subset", "IndexConcatDataset",
-           "hierarchical_dataset"]
+__all__ = ["ArrayDataset", "BankDataset", "DeviceImageBank", "bank_dataset",
+           "LmdbDataset", "RawDataset", "ConcatDataset", "Subset",
+           "IndexConcatDataset", "hierarchical_dataset"]
+
+
+class DeviceImageBank:
+    """A growable device-resident uint8 image bank [N, H, W, C].
+
+    Tasks append their decoded+resized images once (``add`` returns the
+    chunk's global offset); ``as_device_array`` uploads lazily and re-uploads
+    only when new chunks arrived — so an incremental run pays one transfer
+    per task instead of one 33MB float32 batch per step.  Consumed by
+    BaseLearner._device_images via opt.image_bank."""
+
+    def __init__(self):
+        self.chunks = []
+        self.total = 0
+        self._dev = None
+        self.datasets = {}  # banked-view cache (root/task -> BankDataset)
+
+    def add(self, images: np.ndarray) -> int:
+        """images: [n, H, W, C] uint8. Returns the global offset."""
+        assert images.dtype == np.uint8, images.dtype
+        offset = self.total
+        self.chunks.append(images)
+        self.total += len(images)
+        self._dev = None
+        return offset
+
+    def as_device_array(self):
+        if self._dev is None:
+            import jax
+            self._dev = jax.device_put(
+                self.chunks[0] if len(self.chunks) == 1
+                else np.concatenate(self.chunks, axis=0))
+        return self._dev
+
+
+def bank_dataset(dataset, opt, bank: DeviceImageBank) -> "BankDataset":
+    """Decode + resize every sample of ``dataset`` ONCE (bicubic to
+    (imgW, imgH), RGBA uint8), append to the device bank, and return the
+    index-yielding view.  Not compatible with per-epoch image augmentation
+    (opt.Aug) — images are frozen at bank time."""
+    if opt.get("Aug", "None") not in (None, "None"):
+        raise ValueError("device_bank is incompatible with Aug (images are "
+                         "resized+frozen once; augmentation needs per-epoch "
+                         "randomness)")
+    size = (opt.imgW, opt.imgH)
+    images, labels = [], []
+    for i in range(len(dataset)):
+        img, label = dataset[i]
+        if not isinstance(img, PIL.Image.Image):
+            img = PIL.Image.fromarray(img).convert("RGBA")
+        img = img.resize(size, PIL.Image.BICUBIC)
+        images.append(np.asarray(img, dtype=np.uint8))
+        labels.append(label)
+    offset = bank.add(np.stack(images))
+    return BankDataset(offset, labels)
 
 
 class BankDataset:

@@ -22,8 +22,9 @@ from typing import Callable, List, Optional, Sequence
 
 import numpy as np
 
-from mrn_tpu.data.dataset import (ConcatDataset, IndexConcatDataset, LmdbDataset,
-                                  Subset, hierarchical_dataset)
+from mrn_tpu.data.dataset import (ConcatDataset, DeviceImageBank,
+                                  IndexConcatDataset, LmdbDataset, Subset,
+                                  bank_dataset, hierarchical_dataset)
 from mrn_tpu.data.transform import build_transform
 
 __all__ = ["EpochLoader", "DatasetManager", "ValDataset"]
@@ -109,6 +110,20 @@ class DatasetManager:
     # -- dataset construction ------------------------------------------------
 
     def _lmdb_factory(self, data_root: str, taski: int, mode: str):
+        bank = self.opt.get("image_bank")
+        if isinstance(bank, DeviceImageBank):
+            # decode+resize each task's LMDB once into the device bank;
+            # rehearsal rebuilds previous tasks' datasets every stage, so the
+            # banked view is cached (on the bank, keyed by root+task — the
+            # cache dies with the run)
+            key = ("train", data_root, taski, mode)
+            cached = bank.datasets.get(key)
+            if cached is None:
+                ds = LmdbDataset(data_root + "/" + self.opt.lan_list[taski],
+                                 self.opt, mode=mode)
+                cached = bank_dataset(ds, self.opt, bank)
+                bank.datasets[key] = cached
+            return cached
         return LmdbDataset(data_root + "/" + self.opt.lan_list[taski], self.opt,
                            mode=mode)
 
@@ -243,6 +258,14 @@ class ValDataset:
 
     def _lmdb_factory(self, val_data: str):
         ds, _ = hierarchical_dataset(root=val_data, opt=self.opt, mode="test")
+        bank = self.opt.get("image_bank")
+        if isinstance(bank, DeviceImageBank):
+            key = ("val", val_data)
+            cached = bank.datasets.get(key)
+            if cached is None:
+                cached = bank_dataset(ds, self.opt, bank)
+                bank.datasets[key] = cached
+            return cached
         return ds
 
     def _loader(self, dataset):

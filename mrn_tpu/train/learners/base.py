@@ -164,6 +164,8 @@ class BaseLearner:
             bank = self.opt.get("image_bank")
             if bank is None:
                 raise ValueError("bank-index batch but opt.image_bank is unset")
+            if hasattr(bank, "as_device_array"):  # growable DeviceImageBank
+                bank = bank.as_device_array()
             img = jnp.take(bank, shard_batch(jnp.asarray(images)), axis=0)
             return (img.astype(jnp.float32) / 255.0 - 0.5) / 0.5
         return shard_batch(jnp.asarray(images))

@@ -49,6 +49,56 @@ def test_bank_eval_loader_pads_with_index_zero():
     assert n_valid == 5 and all(lb == "" for lb in labels[5:])
 
 
+def test_lmdb_device_bank_train_loop(tmp_path):
+    """Real-data path: --device_bank banks each task's LMDB once (decode +
+    bicubic resize to imgW x imgH, uint8) and the task loop trains on index
+    batches; rehearsal re-requests of old tasks hit the bank cache."""
+    import io
+
+    import PIL.Image
+
+    from mrn_tpu.data.dataset import DeviceImageBank
+    from mrn_tpu.data.lmdb_store import LmdbWriter
+    from mrn_tpu.data.manager import DatasetManager
+    from mrn_tpu.data.synthetic import make_task_dataset
+
+    for i, (lan, alpha) in enumerate((("T0", "abc"), ("T1", "def"))):
+        path = tmp_path / "train" / lan
+        path.mkdir(parents=True)
+        ds = make_task_dataset(alpha, 12, img_w=64, seed=i)
+        w = LmdbWriter(str(path), map_size=1 << 24)
+        w.put(b"num-samples", b"12")
+        for k in range(12):
+            img, label = ds[k]
+            buf = io.BytesIO()
+            img.save(buf, "PNG")
+            w.put(b"image-%09d" % (k + 1), buf.getvalue())
+            w.put(b"label-%09d" % (k + 1), label.encode())
+        w.commit()
+
+    opt = tiny_opt(lan_list=["T0", "T1"], select_data=[str(tmp_path / "train")],
+                   il="mrn", memory="random", memory_num=4)
+    opt.image_bank = DeviceImageBank()
+    manager = DatasetManager(opt)
+    manager.init_start(opt, opt.select_data, None, 0)
+    images, labels = manager.get_batch()
+    assert images.dtype == np.int32
+    assert opt.image_bank.total == 12  # task 0 banked once
+
+    learner = BaseLearner(opt)
+    batch_imgs = np.asarray(learner._device_images(images))
+    assert batch_imgs.shape == (opt.batch_size, opt.imgH, opt.imgW, 4)
+    assert np.isfinite(batch_imgs).all()
+
+    # rehearsal path: task 1's mrn-mix stream (memory + current, with_index)
+    manager.get_dataset(1, memory="random",
+                        index_list=[np.array([0, 1])])
+    images, labels, idxs = manager.get_batch2()
+    assert images.dtype == np.int32
+    assert opt.image_bank.total == 24  # task 1 banked; task 0 cache hit
+    assert set(np.unique(idxs)) <= {0, 1}
+
+
 def test_banked_learner_trains_end_to_end(tmp_path):
     opt = tiny_opt(lan_list=["T0"], num_iter=4, val_interval=2,
                    output_dir=str(tmp_path / "s"),

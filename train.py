@@ -104,11 +104,19 @@ def main():
                              "devices (2-D data x expert mesh)")
     parser.add_argument("--profile", default=None,
                         help="capture a jax.profiler trace to this directory")
+    parser.add_argument("--device_bank", action="store_true",
+                        help="decode+resize each task's images ONCE into a "
+                             "device-resident uint8 bank and stream only "
+                             "int32 indices per step (for datasets that fit "
+                             "in HBM; incompatible with Aug)")
     args = parser.parse_args()
 
     opt = load_config(args.config)
     random.seed(opt.manual_seed)
     np.random.seed(opt.manual_seed)
+    if args.device_bank or opt.get("device_bank", False):
+        from mrn_tpu.data.dataset import DeviceImageBank
+        opt.image_bank = DeviceImageBank()
 
     expert_par = args.expert_parallel or opt.get("expert_parallel", 1)
     if expert_par and expert_par > 1:
