@@ -104,6 +104,10 @@ def main():
                              "devices (2-D data x expert mesh)")
     parser.add_argument("--profile", default=None,
                         help="capture a jax.profiler trace to this directory")
+    parser.add_argument("--multihost", action="store_true",
+                        help="call jax.distributed.initialize() before mesh "
+                             "setup (TPU pods auto-detect; otherwise set "
+                             "JAX coordinator env vars)")
     parser.add_argument("--device_bank", action="store_true",
                         help="decode+resize each task's images ONCE into a "
                              "device-resident uint8 bank and stream only "
@@ -114,6 +118,11 @@ def main():
     opt = load_config(args.config)
     random.seed(opt.manual_seed)
     np.random.seed(opt.manual_seed)
+    if args.multihost or opt.get("multihost", False):
+        from mrn_tpu.parallel import multihost
+        rank, count = multihost.initialize()
+        print(f"multihost: process {rank}/{count}, "
+              f"global devices: {len(__import__('jax').devices())}")
     if args.device_bank or opt.get("device_bank", False):
         from mrn_tpu.data.dataset import DeviceImageBank
         opt.image_bank = DeviceImageBank()
