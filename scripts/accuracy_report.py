@@ -35,11 +35,14 @@ def main():
         " reload the best checkpoint, evaluate ALL seen tasks; AIA = mean"
         " over stages of the per-stage mean accuracy.  Suite: 6 tasks in the"
         " reference order with the reference's per-task class counts"
-        f" {first['classes']} (README.md:100), instance counts"
-        f" {first['n_train']} train / {first['n_test']} test (1/8 of MLT17),"
-        f" batch {first['batch_size']}, {first['num_iter']} iters/task"
-        " (1/8 of the reference's 10k), Adam 5e-4 + OneCycle, clip 5, seed"
-        f" {first['seed']}, 32x256 RGBA, CRNN backbone, run on TPU.\n",
+        f" {first['classes']} (README.md:100), FULL MLT17 instance counts"
+        f" {first['n_train']} train / {first['n_test']} test (README.md:98-99),"
+        " Zipf(1.0) character frequencies + short-biased word lengths (like"
+        f" real scene text), batch {first['batch_size']},"
+        f" {first['num_iter']} iters/task (1/4 of the reference's 10k),"
+        " Adam 5e-4 + OneCycle, clip 5, seed"
+        f" {first['seed']}, 32x256 RGBA, CRNN backbone, run on TPU v5e"
+        " (HBM-resident image bank).\n",
         "\n## Headline: final AIA + average forgetting\n",
         "\n| Strategy | Final AIA % | Avg forgetting % | Final per-task row |"
         " Wall time |",
