@@ -143,6 +143,11 @@ def benchmark_all_eval(learner, opt, last_task: int,
         eval_data_path = eval_root + eval_data
         ds, eval_data_log = hierarchical_dataset(root=eval_data_path, opt=opt,
                                                  mode="test")
+        bank = opt.get("image_bank")
+        if bank is not None:
+            from mrn_tpu.data.dataset import bank_dataset
+            ds = bank.datasets.get(eval_data_path) or bank.datasets.setdefault(
+                eval_data_path, bank_dataset(ds, opt, bank))
         loader = EpochLoader(ds, eval_batch_size, transform, shuffle=False,
                              pad_to_batch=True,
                              rng=np.random.default_rng(opt.manual_seed))
@@ -256,6 +261,10 @@ def main():
                         default=None, help="architecture preset override")
     parser.add_argument("--result_dir", default="./result")
     parser.add_argument("--evaluation_log_dir", default="./evaluation_log")
+    parser.add_argument("--device_bank", action="store_true",
+                        help="decode+resize eval sets once into a "
+                             "device-resident uint8 bank (indices-only "
+                             "host->device traffic)")
     args = parser.parse_args()
 
     opt = load_config(args.config, extra_sections=["test"])
@@ -264,6 +273,9 @@ def main():
     apply_model_name_presets(opt)
     if args.batch_size:
         opt.batch_size = args.batch_size
+    if args.device_bank or opt.get("device_bank", False):
+        from mrn_tpu.data.dataset import DeviceImageBank
+        opt.image_bank = DeviceImageBank()
     np.random.seed(opt.manual_seed)
     last_task = args.taski if args.taski is not None else len(opt.lan_list) - 1
 
