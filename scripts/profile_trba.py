@@ -57,6 +57,36 @@ def main():
     vs = cast(lstm.init(rng, seq.astype(jnp.float32)))
     print(f"BiLSTM(512->): {bench(lambda s: lstm.apply(vs, s), seq):8.2f} ms")
 
+    # Attn greedy decode stage (26 steps, 4500-class generator)
+    from mrn_tpu.models.attention import AttentionDecoder
+    from mrn_tpu.models.common import TorchDense
+
+    n_cls = 4500
+    feat = jnp.zeros((B, 65, 256), DT)
+    dec = AttentionDecoder(input_size=256, hidden_size=256, num_classes=n_cls,
+                           generator=TorchDense(n_cls, name="gen"),
+                           batch_max_length=25)
+    sos = jnp.zeros((B, 1), jnp.int32)
+    vd = cast(dec.init(rng, feat.astype(jnp.float32), sos, is_train=False))
+    print(f"Attn greedy:   "
+          f"{bench(lambda f: dec.apply(vd, f, sos, is_train=False), feat):8.2f} ms")
+
+    # full TRBA at several batch sizes
+    from mrn_tpu.config import default_options
+    from mrn_tpu.models.composer import build_recognizer
+
+    opt = default_options(Transformation="TPS", FeatureExtraction="ResNet",
+                          SequenceModeling="BiLSTM", Prediction="Attn")
+    model = build_recognizer(opt, n_cls)
+    for bs in (256, 512):
+        img = jnp.zeros((bs, 32, 256, 4), DT)
+        text = jnp.zeros((bs, 1), jnp.int32)
+        vm = cast(model.init({"params": rng, "droppath": rng},
+                             img.astype(jnp.float32), train=False, text=text))
+        ms = bench(lambda a: model.apply(vm, a, train=False, is_train=False,
+                                         text=text)["predict"], img, iters=5)
+        print(f"TRBA full bs{bs}: {ms:8.2f} ms ({bs / ms * 1000:,.0f} crops/s)")
+
 
 if __name__ == "__main__":
     main()
