@@ -72,6 +72,32 @@ def test_train_cli_end_to_end(tmp_path, il):
     if il == "base":
         _check_evaluate_cli(tmp_path, opt, train_root, test_root)
         _check_benchmark_all_eval(tmp_path, opt, test_root)
+        _check_recognize_cli(tmp_path, opt)
+
+
+def _check_recognize_cli(tmp_path, opt):
+    """Label-free folder inference (recognize_cli.recognize)."""
+    import evaluate_cli as ec
+    import recognize_cli as rc
+
+    from mrn_tpu.data.synthetic import make_task_dataset
+
+    crops = tmp_path / "crops"
+    crops.mkdir()
+    ds = make_task_dataset("abc", 5, img_w=64, seed=7)
+    for i in range(5):
+        img, label = ds[i]
+        img.save(str(crops / f"{i}_{label}.png"))
+
+    ckpt = os.path.join(opt.output_dir, opt.exp_name,
+                        f"{opt.lan_list[1]}_1_best_score.msgpack")
+    learner = ec.load_learner(opt, ckpt, last_task=1)
+    results = list(rc.recognize(learner, opt, str(crops)))
+    assert len(results) == 5
+    for path, word, conf in results:
+        assert os.path.exists(path)
+        assert isinstance(word, str)
+        assert 0.0 <= conf <= 1.0
 
 
 def _check_evaluate_cli(tmp_path, opt, train_root, test_root):
