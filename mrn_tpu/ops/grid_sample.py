@@ -98,13 +98,19 @@ def grid_sample_matmul(image: jnp.ndarray, grid: jnp.ndarray,
     grid_blocks = grid.reshape(b, ho // row_block, row_block * wo, 2)
     grid_blocks = jnp.moveaxis(grid_blocks, 1, 0)  # [nb, B, P, 2]
 
+    # the [B, P, H, C] intermediate dominates HBM traffic; for bf16 images
+    # keep it bf16 (the MXU still accumulates in f32 internally — and the
+    # one-hot rows have at most 2 nonzero taps, so rounding error is one
+    # bf16 round), for f32 keep full precision (oracle-parity tests)
+    acc_t = image.dtype if image.dtype == jnp.bfloat16 else jnp.float32
+
     def one_block(gblk):
         ix = _unnormalize(gblk[..., 0], w)
         iy = _unnormalize(gblk[..., 1], h)
-        wx = _onehot_weights(ix, w)  # [B, P, W]
-        wy = _onehot_weights(iy, h)  # [B, P, H]
+        wx = _onehot_weights(ix, w).astype(acc_t)  # [B, P, W]
+        wy = _onehot_weights(iy, h).astype(acc_t)  # [B, P, H]
         tmp = jnp.einsum("bpw,bhwc->bphc", wx, image,
-                         preferred_element_type=jnp.float32)
+                         preferred_element_type=acc_t)
         return jnp.einsum("bph,bphc->bpc", wy, tmp,
                           preferred_element_type=jnp.float32)
 
