@@ -149,7 +149,7 @@ def main():
     t_start = time.perf_counter()
     best = 0.0
     best_bs = 0
-    for bs in (512, 256):
+    for bs in (1024, 512, 256):
         try:
             tput = measure(bs)
         except Exception as e:  # OOM etc.
@@ -170,6 +170,10 @@ def main():
                                          FeatureExtraction="ResNet",
                                          SequenceModeling="BiLSTM",
                                          Prediction="Attn"))
+            _secondary_arch("TRBA", dict(Transformation="TPS",
+                                         FeatureExtraction="ResNet",
+                                         SequenceModeling="BiLSTM",
+                                         Prediction="Attn"), batch_size=512)
             _train_step_bench()
         except Exception as e:
             print(f"# secondary benches failed: {e}", file=sys.stderr)
