@@ -231,6 +231,16 @@ class MRN(BaseLearner):
         if self._phase != "routed":
             preds, new_stats = self._apply_train(params, batch_stats, batch, rng)
             return rec(preds, batch), (new_stats, {})
+        # ALL experts are frozen during router training (reference freezes
+        # them via requires_grad=False, mrn.py:154-157, 285-287 — torch never
+        # differentiates through them).  stop_gradient is the exact JAX
+        # equivalent: backward skips the whole expert ensemble, so no expert
+        # activations are saved (at task 5 that's ~7GB of VGG residuals at
+        # batch 256) and the router update is unchanged (the optimizer mask
+        # already zeroed expert updates).
+        params = dict(params)
+        params["experts"] = jax.tree_util.tree_map(
+            jax.lax.stop_gradient, params["experts"])
         out, new_stats = self._apply_routed_train(params, batch_stats, batch, rng)
         loss_clf = rec(out["logits"], batch)
         # CE applied ON the softmaxed routing weights, exactly like the
