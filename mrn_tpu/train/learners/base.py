@@ -121,15 +121,41 @@ class BaseLearner:
 
     # ------------------------------------------------------------- loss/steps
 
+    def _mp_dtype(self):
+        """Mixed-precision training policy (opt.train_dtype="bf16", or
+        train.py --bf16): forward/backward run in bf16, master params /
+        optimizer state / BN running stats / losses stay f32.  Default: off
+        (full f32, matching the reference)."""
+        import jax.numpy as jnp
+        return jnp.bfloat16 if self.opt.get("train_dtype") == "bf16" else None
+
+    def _mp_cast(self, tree):
+        dt = self._mp_dtype()
+        if dt is None:
+            return tree
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(dt)
+            if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x, tree)
+
+    def _mp_f32(self, tree):
+        """Cast a subtree back to f32 (mutated BN stats, logits for losses)."""
+        if self._mp_dtype() is None:
+            return tree
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.float32)
+            if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x, tree)
+
     def _apply_train(self, params, batch_stats, batch, rng):
         """Returns (predict, new_batch_stats)."""
         kwargs = {}
         if self.opt.Prediction == "Attn":
             kwargs["text"] = batch["label"][:, :-1]
         out, mutated = self.model.apply(
-            {"params": params, "batch_stats": batch_stats}, batch["image"],
+            {"params": self._mp_cast(params),
+             "batch_stats": self._mp_cast(batch_stats)},
+            self._mp_cast(batch["image"]),
             train=True, mutable=["batch_stats"], rngs={"droppath": rng}, **kwargs)
-        return out["predict"], mutated["batch_stats"]
+        return self._mp_f32(out["predict"]), self._mp_f32(mutated["batch_stats"])
 
     def loss_fn(self, params, batch_stats, batch, rng, aux):
         rec = recognition_loss(self.opt.Prediction, self._pad_id())

@@ -28,9 +28,10 @@ class LwFMixin:
         if self.opt.Prediction == "Attn":
             kwargs["text"] = batch["label"][:, :-1]
         out = self._old_model_def.apply(
-            {"params": aux["old_params"], "batch_stats": aux["old_stats"]},
-            batch["image"], train=False, is_train=True, **kwargs)
-        return out["predict"]
+            {"params": self._mp_cast(aux["old_params"]),
+             "batch_stats": self._mp_cast(aux["old_stats"])},
+            self._mp_cast(batch["image"]), train=False, is_train=True, **kwargs)
+        return self._mp_f32(out["predict"])
 
     def train_aux(self):
         if self._cur_task == 0 or self._old_params is None:

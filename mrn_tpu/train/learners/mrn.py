@@ -221,10 +221,12 @@ class MRN(BaseLearner):
         if self.opt.Prediction == "Attn":
             kwargs["text"] = batch["label"][:, :-1]
         out, mutated = self.mrn_model.apply(
-            {"params": params, "batch_stats": batch_stats}, batch["image"],
+            {"params": self._mp_cast(params),
+             "batch_stats": self._mp_cast(batch_stats)},
+            self._mp_cast(batch["image"]),
             cross=True, train=True, is_train=True,
             mutable=["batch_stats"], rngs={"droppath": rng}, **kwargs)
-        return out, mutated["batch_stats"]
+        return self._mp_f32(out), self._mp_f32(mutated["batch_stats"])
 
     def loss_fn(self, params, batch_stats, batch, rng, aux):
         rec = recognition_loss(self.opt.Prediction, self._pad_id())

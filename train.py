@@ -104,6 +104,10 @@ def main():
                              "devices (2-D data x expert mesh)")
     parser.add_argument("--profile", default=None,
                         help="capture a jax.profiler trace to this directory")
+    parser.add_argument("--bf16", action="store_true",
+                        help="mixed-precision training: forward/backward in "
+                             "bf16, f32 master params/optimizer/BN stats "
+                             "(train_dtype='bf16' in configs)")
     parser.add_argument("--multihost", action="store_true",
                         help="call jax.distributed.initialize() before mesh "
                              "setup (TPU pods auto-detect; otherwise set "
@@ -118,6 +122,8 @@ def main():
     opt = load_config(args.config)
     random.seed(opt.manual_seed)
     np.random.seed(opt.manual_seed)
+    if args.bf16:
+        opt.train_dtype = "bf16"
     if args.multihost or opt.get("multihost", False):
         from mrn_tpu.parallel import multihost
         rank, count = multihost.initialize()
