@@ -20,7 +20,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["grid_sample", "grid_sample_gather", "grid_sample_matmul"]
+__all__ = ["grid_sample", "grid_sample_gather", "grid_sample_matmul",
+           "grid_sample_pallas"]
 
 
 def _unnormalize(coord, size):
@@ -117,3 +118,69 @@ def grid_sample_matmul(image: jnp.ndarray, grid: jnp.ndarray,
     out = jax.lax.map(one_block, grid_blocks)  # [nb, B, P, C]
     out = jnp.moveaxis(out, 0, 1).reshape(b, ho, wo, c)
     return out.astype(image.dtype)
+
+
+def grid_sample_pallas(image: jnp.ndarray, grid: jnp.ndarray,
+                       row_block: int = 4, batch_block: int = 8,
+                       interpret: bool = False) -> jnp.ndarray:
+    """Fused Pallas TPU kernel for the TPS warp (forward / inference only).
+
+    Same math as ``grid_sample_matmul`` — per output pixel, the two bilinear
+    taps per axis are one-hot rows contracted with the image on the MXU — but
+    the [B, P, H, C] intermediate lives ONLY in VMEM: HBM traffic is exactly
+    read-image + read-grid + write-output, removing the einsum path's
+    bandwidth bound (~1GB of intermediate per 256-batch at f32).
+
+    Grid: (B / batch_block, Ho / row_block) programs; each program loops over
+    its batch tile, and per element does one [P, W] x [W, H*C] MXU dot plus a
+    VPU reduction over the H taps.  Shapes must tile exactly (the dispatcher
+    falls back to the einsum path otherwise)."""
+    from jax.experimental import pallas as pl
+
+    b, h, w, c = image.shape
+    _, ho, wo, _ = grid.shape
+    if b % batch_block or ho % row_block:
+        return grid_sample_matmul(image, grid)
+    p = row_block * wo
+
+    def kernel(img_ref, grid_ref, o_ref):
+        def body(g, _):
+            img = img_ref[pl.ds(g, 1)]                       # [1,H,W,C]
+            gblk = grid_ref[pl.ds(g, 1)].reshape(1, p, 2)    # [1,P,2]
+            ix = _unnormalize(gblk[..., 0].astype(jnp.float32), w)
+            iy = _unnormalize(gblk[..., 1].astype(jnp.float32), h)
+
+            def onehot(coord, size):
+                x0, x1, fx = _corners(coord, size)
+                pos = jax.lax.broadcasted_iota(jnp.int32, (1, p, size), 2)
+                w0 = jnp.where(pos == x0[..., None], 1.0 - fx[..., None], 0.0)
+                w1 = jnp.where(pos == x1[..., None], fx[..., None], 0.0)
+                return w0 + w1                               # [1,P,size]
+
+            wx = onehot(ix, w)
+            wy = onehot(iy, h)
+            i2 = jnp.transpose(img, (0, 2, 1, 3)).reshape(1, w, h * c)
+            t1 = jax.lax.dot_general(
+                wx, i2.astype(jnp.float32), (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)          # [1,P,H*C]
+            t1 = t1.reshape(1, p, h, c)
+            out = jnp.sum(t1 * wy[..., None], axis=2)        # [1,P,C]
+            o_ref[pl.ds(g, 1)] = out.reshape(
+                1, row_block, wo, c).astype(o_ref.dtype)
+            return _
+
+        jax.lax.fori_loop(0, batch_block, body, None)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(b // batch_block, ho // row_block),
+        in_specs=[
+            pl.BlockSpec((batch_block, h, w, c), lambda i, j: (i, 0, 0, 0)),
+            pl.BlockSpec((batch_block, row_block, wo, 2),
+                         lambda i, j: (i, j, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((batch_block, row_block, wo, c),
+                               lambda i, j: (i, j, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, ho, wo, c), image.dtype),
+        interpret=interpret,
+    )(image, grid)

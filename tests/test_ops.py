@@ -91,6 +91,28 @@ def test_grid_sample_matches_torch(rng, fn):
     np.testing.assert_allclose(ours, theirs, atol=1e-5)
 
 
+def test_grid_sample_pallas_matches_torch(rng):
+    """The fused VMEM-resident TPS warp kernel (interpret mode on CPU) must
+    match torch grid_sample and the einsum path exactly."""
+    from mrn_tpu.ops.grid_sample import grid_sample_pallas
+
+    b, h, w, c = 4, 8, 16, 3
+    ho, wo = 8, 12
+    img = rng.normal(size=(b, h, w, c)).astype(np.float32)
+    grid = (rng.uniform(-1.3, 1.3, size=(b, ho, wo, 2))).astype(np.float32)
+    ours = np.asarray(grid_sample_pallas(jnp.asarray(img), jnp.asarray(grid),
+                                         row_block=2, batch_block=2,
+                                         interpret=True))
+    theirs = _torch_grid_sample(img, grid)
+    np.testing.assert_allclose(ours, theirs, atol=1e-5)
+
+    # non-tiling shapes fall back to the einsum path
+    odd = np.asarray(grid_sample_pallas(jnp.asarray(img[:3]),
+                                        jnp.asarray(grid[:3]),
+                                        batch_block=2, interpret=True))
+    np.testing.assert_allclose(odd, theirs[:3], atol=1e-5)
+
+
 def test_grid_sample_identity(rng):
     b, h, w, c = 1, 4, 6, 2
     img = rng.normal(size=(b, h, w, c)).astype(np.float32)
