@@ -47,6 +47,14 @@ def main():
     grid = jnp.zeros((B, 32, 256, 2), DT)
     print(f"grid gather:   {bench(grid_sample, x, grid):8.2f} ms")
     print(f"grid matmul:   {bench(lambda a, g: grid_sample_matmul(a, g, row_block=4), x, grid):8.2f} ms")
+    from mrn_tpu.ops.grid_sample import grid_sample_pallas
+    for rb, bb in ((4, 8), (8, 8), (4, 16)):
+        try:
+            ms = bench(lambda a, g, rb=rb, bb=bb: grid_sample_pallas(
+                a, g, row_block=rb, batch_block=bb), x, grid)
+            print(f"grid pallas rb{rb} bb{bb}: {ms:8.2f} ms")
+        except Exception as e:
+            print(f"grid pallas rb{rb} bb{bb}: FAILED {type(e).__name__}: {e}")
 
     res = ResNetExtractor(512)
     vr = cast(res.init({"params": rng}, x.astype(jnp.float32), train=False))
