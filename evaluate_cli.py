@@ -217,9 +217,12 @@ def evaluate_tasks(learner, opt, eval_roots, last_task: int,
     for root in eval_roots:
         for taski in range(last_task + 1):
             val_data = os.path.join(root, opt.lan_list[taski])
-            _, eval_data_log = hierarchical_dataset(root=val_data, opt=opt,
-                                                    mode="test")
+            # build the eval set ONCE (ValDataset handles device-bank reuse);
+            # emit the hierarchical_dataset-format log line from its size
             loader = ValDataset([val_data], opt).create_dataset()
+            eval_data_log = (
+                f"dataset_root:  {val_data}\t dataset: /\n"
+                f"sub-directory:\t/.\t num samples: {len(loader.dataset)}\n")
             res = learner.run_validation(loader, choose)
             scores.append(res.score)
             neds.append(res.ned or 0.0)

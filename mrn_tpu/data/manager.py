@@ -257,15 +257,17 @@ class ValDataset:
         self.transform = build_transform(opt, mode="test")
 
     def _lmdb_factory(self, val_data: str):
-        ds, _ = hierarchical_dataset(root=val_data, opt=self.opt, mode="test")
         bank = self.opt.get("image_bank")
         if isinstance(bank, DeviceImageBank):
             key = ("val", val_data)
             cached = bank.datasets.get(key)
             if cached is None:
+                ds, _ = hierarchical_dataset(root=val_data, opt=self.opt,
+                                             mode="test")
                 cached = bank_dataset(ds, self.opt, bank)
                 bank.datasets[key] = cached
             return cached
+        ds, _ = hierarchical_dataset(root=val_data, opt=self.opt, mode="test")
         return ds
 
     def _loader(self, dataset):

@@ -65,10 +65,6 @@ def get_mesh() -> Optional[Mesh]:
     return _MESH
 
 
-def expert_axis_size() -> int:
-    return dict(getattr(_MESH, "shape", {})).get("expert", 1)
-
-
 def shard_batch(x):
     """Annotate a batch-leading array as sharded over the 'data' axis.
     Identity when no mesh is installed."""

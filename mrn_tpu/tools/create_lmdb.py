@@ -281,6 +281,29 @@ def create_dataset_with_valid_testset(input_path: str, gt_file: str,
     counts = {"train": 0, "valid": 0, "test": 0}
     split = "train"
     for i in range(n_samples):
+        # Split transitions happen BEFORE processing sample i, so a skipped
+        # (missing/invalid) sample can never jump a boundary, and num-samples
+        # records the count actually written — the reference (520-544) checks
+        # after a possible `continue` and stamps the planned counts instead.
+        if i == num_train:
+            print(f"# Train dataset: {counts['train']} is finished")
+            writer.put(b"num-samples", str(counts["train"]).encode())
+            writer.commit()
+            data_log.close()
+            writer = LmdbWriter(valid_path, map_size=map_size)
+            data_log = open(gt_valid_path, "w", encoding="utf-8")
+            cnt = 1
+            split = "valid"
+        if i == num_train + num_valid and num_test != 0:
+            print(f"# Valid dataset: {counts['valid']} is finished")
+            writer.put(b"num-samples", str(counts["valid"]).encode())
+            writer.commit()
+            data_log.close()
+            writer = LmdbWriter(test_path, map_size=map_size)
+            data_log = open(gt_test_path, "w", encoding="utf-8")
+            cnt = 1
+            split = "test"
+
         data_log.write(datalist[i])
         image, label = datalist[i].strip("\n").split("\t")
         image_path = os.path.join(input_path, image)
@@ -296,35 +319,10 @@ def create_dataset_with_valid_testset(input_path: str, gt_file: str,
         writer.put(b"label-%09d" % cnt, label.encode())
         writer.put(b"imagepath-%09d" % cnt, image_path.encode())
         counts[split] += 1
-
-        # finish train and start validation (reference 520-531)
-        if i + 1 == num_train:
-            print(f"# Train dataset: {num_train} is finished")
-            writer.put(b"num-samples", str(num_train).encode())
-            writer.commit()
-            data_log.close()
-            writer = LmdbWriter(valid_path, map_size=map_size)
-            data_log = open(gt_valid_path, "w", encoding="utf-8")
-            cnt = 0  # not 1 at this time
-            split = "valid"
-        # finish valid and start test (reference 533-544)
-        if i + 1 == num_train + num_valid and num_test != 0:
-            print(f"# Valid dataset: {num_valid} is finished")
-            writer.put(b"num-samples", str(num_valid).encode())
-            writer.commit()
-            data_log.close()
-            writer = LmdbWriter(test_path, map_size=map_size)
-            data_log = open(gt_test_path, "w", encoding="utf-8")
-            cnt = 0
-            split = "test"
         cnt += 1
 
-    if num_test == 0:
-        writer.put(b"num-samples", str(num_valid).encode())
-        print(f"# Valid datast: {num_valid} is finished")
-    else:
-        writer.put(b"num-samples", str(num_test).encode())
-        print(f"# Test datast: {num_test} is finished")
+    writer.put(b"num-samples", str(counts[split]).encode())
+    print(f"# {split} dataset: {counts[split]} is finished")
     writer.commit()
     data_log.close()
     return counts["train"], counts["valid"], counts["test"]

@@ -150,9 +150,11 @@ class BaseLearner:
         kwargs = {}
         if self.opt.Prediction == "Attn":
             kwargs["text"] = batch["label"][:, :-1]
+        # batch_stats stay f32: train-mode BN ignores them for normalization,
+        # and a bf16-rounded EMA base would quantize the running stats.
         out, mutated = self.model.apply(
             {"params": self._mp_cast(params),
-             "batch_stats": self._mp_cast(batch_stats)},
+             "batch_stats": batch_stats},
             self._mp_cast(batch["image"]),
             train=True, mutable=["batch_stats"], rngs={"droppath": rng}, **kwargs)
         return self._mp_f32(out["predict"]), self._mp_f32(mutated["batch_stats"])

@@ -107,7 +107,7 @@ class DER(BaseLearner):
             kwargs["text"] = batch["label"][:, :-1]
         out, mutated = self.model.apply(
             {"params": self._mp_cast(params),
-             "batch_stats": self._mp_cast(batch_stats)},
+             "batch_stats": batch_stats},  # f32 EMA base (see base.py)
             self._mp_cast(batch["image"]),
             train=True, mutable=["batch_stats"], rngs={"droppath": rng}, **kwargs)
         return self._mp_f32(out), self._mp_f32(mutated["batch_stats"])

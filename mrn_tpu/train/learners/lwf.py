@@ -29,7 +29,7 @@ class LwFMixin:
             kwargs["text"] = batch["label"][:, :-1]
         out = self._old_model_def.apply(
             {"params": self._mp_cast(aux["old_params"]),
-             "batch_stats": self._mp_cast(aux["old_stats"])},
+             "batch_stats": aux["old_stats"]},  # f32 stats; output stays bf16
             self._mp_cast(batch["image"]), train=False, is_train=True, **kwargs)
         return self._mp_f32(out["predict"])
 

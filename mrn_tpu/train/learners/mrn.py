@@ -222,7 +222,7 @@ class MRN(BaseLearner):
             kwargs["text"] = batch["label"][:, :-1]
         out, mutated = self.mrn_model.apply(
             {"params": self._mp_cast(params),
-             "batch_stats": self._mp_cast(batch_stats)},
+             "batch_stats": batch_stats},  # f32 EMA base (see base.py)
             self._mp_cast(batch["image"]),
             cross=True, train=True, is_train=True,
             mutable=["batch_stats"], rngs={"droppath": rng}, **kwargs)

@@ -54,6 +54,10 @@ ALL_ILS = ["base", "ewc", "lwf", "wa", "der", "mrn", "joint_mix"]
 MEMORY_ILS = {"mrn", "der", "wa", "joint_mix"}
 
 
+GEN_PARAMS = dict(min_len=1, max_len=10, renderer="bits", zipf=1.0,
+                  classes=CLASSES, n_test=N_TEST)
+
+
 def build_source(opt, seed=111, cache_dir=None):
     spans, start = [], 0x4E00
     for n in CLASSES:
@@ -61,17 +65,23 @@ def build_source(opt, seed=111, cache_dir=None):
         start += n
     cache = None
     if cache_dir:
-        tag = f"s{seed}_n{sum(N_TRAIN)}_{opt.imgH}x{opt.imgW}"
+        # the tag hashes every generation parameter, so editing the suite
+        # definition above invalidates the cache instead of silently serving
+        # stale data
+        import hashlib
+        h = hashlib.sha1(json.dumps(GEN_PARAMS, sort_keys=True)
+                         .encode()).hexdigest()[:8]
+        tag = f"s{seed}_n{sum(N_TRAIN)}_{opt.imgH}x{opt.imgW}_{h}"
         cache = os.path.join(cache_dir, f"suite_{tag}")
     if cache and os.path.exists(cache + ".npz"):
         t0 = time.time()
         source = SyntheticSource.load(cache + ".npz", LANS, spans)
         print(f"suite loaded from cache in {time.time() - t0:.0f}s", flush=True)
         return source
-    source = SyntheticSource(spans, LANS, n_train=N_TRAIN, n_test=N_TEST,
+    gen = {k: v for k, v in GEN_PARAMS.items() if k != "classes"}
+    source = SyntheticSource(spans, LANS, n_train=N_TRAIN,
                              img_h=opt.imgH, img_w=opt.imgW, seed=seed,
-                             min_len=1, max_len=10, renderer="bits",
-                             zipf=1.0, device_bank=True)
+                             device_bank=True, **gen)
     if cache:
         os.makedirs(cache_dir, exist_ok=True)
         source.save(cache + ".npz")

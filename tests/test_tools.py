@@ -131,6 +131,45 @@ def test_create_dataset_with_valid_testset(tmp_path, rng):
     assert (n_train, n_valid, n_test) == (27, 3, 0)
 
 
+def test_create_dataset_valid_testset_skip_at_boundary(tmp_path, rng):
+    """A missing image landing exactly on a split boundary must not swallow
+    the train->valid transition, and num-samples must record the counts
+    actually written (the reference's post-continue check loses both)."""
+    img_dir = tmp_path / "raw"
+    img_dir.mkdir()
+    lines = []
+    for i in range(30):
+        img = rng.integers(0, 255, size=(20, 40, 3)).astype(np.uint8)
+        name = f"img{i:03d}.png"
+        cv2.imwrite(str(img_dir / name), img)
+        lines.append(f"raw/{name}\tword{i}")
+    gt = tmp_path / "gt.txt"
+    gt.write_text("\n".join(lines) + "\n", encoding="utf-8")
+
+    # find which shuffled position each sample lands at for seed 1111 and
+    # delete the image that falls at the end-of-train boundary (index 23)
+    import random as _random
+    shuffled = list(lines)
+    _random.Random(1111).shuffle(shuffled)
+    boundary_img = shuffled[23].split("\t")[0]
+    os.remove(str(tmp_path / boundary_img))
+
+    n_train, n_valid, n_test = create_dataset_with_valid_testset(
+        str(tmp_path), str(gt), str(tmp_path / "out"), "ds",
+        validset_percent=10, testset_percent=10, map_size=1 << 24)
+    assert (n_train, n_valid, n_test) == (23, 3, 3)
+
+    from mrn_tpu.config import default_options
+    from mrn_tpu.data.dataset import LmdbDataset
+    for split, expected in (("training", 23), ("validation", 3),
+                            ("evaluation", 3)):
+        ds = LmdbDataset(str(tmp_path / "out" / split / "ds"),
+                         default_options(), mode="train")
+        assert len(ds) == expected, split
+        # every indexed record must resolve to a real label (dense keys)
+        assert all(ds[k][1].startswith("word") for k in range(len(ds)))
+
+
 def test_char_accuracy_report(tmp_path):
     """Per-char recall + frequency-bucket averages (reference utils.py:233-278)."""
     from mrn_tpu.tools.analysis import (char_accuracy, char_accuracy_report,

@@ -134,11 +134,12 @@ def main():
         opt.image_bank = DeviceImageBank()
 
     expert_par = args.expert_parallel or opt.get("expert_parallel", 1)
+    data_par = args.data_parallel or opt.get("data_parallel", 0)
     if expert_par and expert_par > 1:
         from mrn_tpu.parallel.mesh import set_expert_parallel
-        set_expert_parallel(expert_par, data=args.data_parallel)
-    elif args.data_parallel:
-        set_data_parallel(args.data_parallel)
+        set_expert_parallel(expert_par, data=data_par or None)
+    elif data_par:
+        set_data_parallel(data_par)
 
     log = ExperimentLog(opt.exp_name, opt.get("output_dir", "./saved_models"),
                         opt.get("data_log", "./data_any.txt"), echo=True)
