@@ -116,3 +116,34 @@ def test_joint_mix(tmp_path):
                                           valid_datas=valid_datas,
                                           val_dataset_builder=builder)
     assert len(best) >= 1  # per-interval all-task evaluations happened
+
+
+def test_joint_loader(tmp_path):
+    """joint_loader: per-task loaders each batch_size//n_tasks, round-robin
+    concatenated per step (reference data_manage.py:63-77)."""
+    from mrn_tpu.train.learners.joint import JointLearner
+    opt = tiny_opt(il="joint_loader", num_iter=4, val_interval=2,
+                   lan_list=["T0", "T1"],
+                   output_dir=str(tmp_path / "s"), data_log=str(tmp_path / "d.txt"))
+    source = make_source(opt)
+    learner = JointLearner(opt)
+    manager = make_manager(opt, source)
+    for taski in range(2):
+        manager.joint_start(opt, opt.select_data, None, taski, 2)
+    # per-task loaders, each batch_size // n_tasks
+    assert len(manager.loaders) == 2
+    assert all(ld.batch_size == opt.batch_size // 2 for ld in manager.loaders)
+    im, lb = manager.get_batch()
+    assert im.shape[0] == 2 * (opt.batch_size // 2)
+    valid_datas = [f"synth_test/{l}" for l in opt.lan_list]
+    val_ds = ValDataset(valid_datas, opt, dataset_factory=source.val_factory)
+    character = source.cumulative_character(1)
+
+    def builder(vd):
+        return ValDataset([vd], opt,
+                          dataset_factory=source.val_factory).create_dataset()
+
+    best, ned = learner.incremental_train(0, character, manager, val_ds,
+                                          valid_datas=valid_datas,
+                                          val_dataset_builder=builder)
+    assert len(best) >= 1
