@@ -174,6 +174,7 @@ def run_strategy(il, args, source, memory_num, model_dims):
         valid_datas=["synth_test"], workers=0, NED=True,
         manual_seed=args.seed,
         fisher_num_iter=max(1, args.num_iter // 4),  # EWC budget, scaled
+        train_dtype="bf16" if args.bf16 else None,
         output_dir=os.path.join(args.out, "saved"),
         data_log=os.path.join(args.out, f"data_{il}.txt"))
     opt.image_bank = source.device_bank()
@@ -195,6 +196,7 @@ def run_strategy(il, args, source, memory_num, model_dims):
         forgetting = 0.0
     result = {
         "il": il, "num_iter": args.num_iter,
+        "train_dtype": "bf16" if args.bf16 else "f32",
         "batch_size": args.batch_size, "seed": args.seed,
         "classes": CLASSES, "n_train": N_TRAIN, "n_test": N_TEST,
         "aia_per_stage": aia, "final_aia": aia[-1],
@@ -227,6 +229,11 @@ def main():
                     help="run only the first N tasks (pilots)")
     ap.add_argument("--skip_done", action="store_true",
                     help="skip strategies whose <out>/<il>.json exists")
+    ap.add_argument("--bf16", action="store_true",
+                    help="mixed-precision training (bf16 compute, f32 master "
+                         "params/opt state/BN stats) — needed to fit DER's "
+                         "5-6 stacked 512-ch extractors and the MRN ensemble "
+                         "in single-chip HBM next to the image bank")
     args = ap.parse_args()
     if args.platform:
         import jax
@@ -261,7 +268,11 @@ def main():
             print(f"== {il}: already done, skipping", flush=True)
             continue
         print(f"== {il}: starting at {time.strftime('%H:%M:%S')}", flush=True)
-        run_strategy(il, args, source, memory_num, model_dims)
+        try:
+            run_strategy(il, args, source, memory_num, model_dims)
+        except Exception:  # noqa: BLE001 — one strategy must not kill the rest
+            import traceback
+            print(f"== {il}: FAILED\n{traceback.format_exc()}", flush=True)
 
 
 if __name__ == "__main__":
