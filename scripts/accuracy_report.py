@@ -45,14 +45,15 @@ def main():
         " (HBM-resident image bank).\n",
         "\n## Headline: final AIA + average forgetting\n",
         "\n| Strategy | Final AIA % | Avg forgetting % | Final per-task row |"
-        " Wall time |",
-        "|---|---|---|---|---|",
+        " dtype | Wall time |",
+        "|---|---|---|---|---|---|",
     ]
     for il in ils:
         r = results[il]
         lines.append(
             f"| {il} | **{r['final_aia']:.2f}** | {r['avg_forgetting']:.2f} |"
-            f" {r['final_row']} | {r['total_seconds']:.0f}s |")
+            f" {r['final_row']} | {r.get('train_dtype', 'f32')} |"
+            f" {r['total_seconds']:.0f}s |")
 
     lines.append("\n## AIA per stage (incremental curve)\n")
     header = "| Strategy | " + " | ".join(
@@ -106,6 +107,12 @@ def main():
                  " to edge out base; on disjoint-alphabet tasks their"
                  " retention is structurally limited (no shared glyphs to"
                  " anchor old-task features).\n")
+    if any(results[il].get("train_dtype") == "bf16" for il in ils):
+        lines.append("\ndtype note: strategies marked bf16 trained with"
+                 " mixed precision (bf16 compute, f32 master params /"
+                 " optimizer state / BN stats) — DER's 5-6 stacked 512-ch"
+                 " extractors and the MRN ensemble exceed single-chip HBM"
+                 " in f32 next to the device-resident image bank.\n")
     with open(args.out, "w", encoding="utf-8") as f:
         f.write("\n".join(lines))
     print(f"wrote {args.out} ({len(ils)} strategies: {ils})")
