@@ -50,8 +50,11 @@ def main():
     ]
     for il in ils:
         r = results[il]
+        mark = f" ({len(r['acc_matrix'])}/6 stages)" if r.get("incomplete") \
+            else ""
         lines.append(
-            f"| {il} | **{r['final_aia']:.2f}** | {r['avg_forgetting']:.2f} |"
+            f"| {il}{mark} | **{r['final_aia']:.2f}** |"
+            f" {r['avg_forgetting']:.2f} |"
             f" {r['final_row']} | {r.get('train_dtype', 'f32')} |"
             f" {r['total_seconds']:.0f}s |")
 
@@ -107,6 +110,10 @@ def main():
                  " to edge out base; on disjoint-alphabet tasks their"
                  " retention is structurally limited (no shared glyphs to"
                  " anchor old-task features).\n")
+    for il in ils:
+        if results[il].get("incomplete"):
+            lines.append(f"\nIncomplete-run note ({il}): "
+                         f"{results[il]['incomplete']}\n")
     if any(results[il].get("train_dtype") == "bf16" for il in ils):
         lines.append("\ndtype note: strategies marked bf16 trained with"
                  " mixed precision (bf16 compute, f32 master params /"
