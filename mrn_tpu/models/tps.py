@@ -116,4 +116,6 @@ class TPSTransformer(nn.Module):
         grid = jnp.einsum("nf,bft->bnt", P_hat, T,
                           preferred_element_type=jnp.float32)
         grid = grid.reshape(b, self.out_size[0], self.out_size[1], 2)
-        return grid_sample(image, grid)
+        # eval mode takes the fused Pallas warp (forward-only); training
+        # keeps the differentiable einsum path
+        return grid_sample(image, grid, inference=not train)

@@ -39,11 +39,22 @@ def _corners(ix, size):
     return x0i, x1i, fx
 
 
-def grid_sample(image: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
+def grid_sample(image: jnp.ndarray, grid: jnp.ndarray,
+                inference: bool = False) -> jnp.ndarray:
     """Backend-aware dispatch: TPU gathers are ~8x slower than the one-hot
     MXU formulation at TPS sizes (measured 61.5ms vs 8.1ms for B=256
-    32x256x4), so TPU uses grid_sample_matmul; other backends gather."""
+    32x256x4), so TPU uses grid_sample_matmul — or, with ``inference=True``
+    and tiling shapes, the fused Pallas warp kernel (forward-only: no VJP
+    is defined for it, so the training path keeps the differentiable
+    einsum formulation); other backends gather."""
     if jax.default_backend() == "tpu":
+        b = image.shape[0]
+        ho = grid.shape[1]
+        if inference and b % 4 == 0 and ho % 4 == 0:
+            # batch_block=4 keeps the per-program tiles inside scoped VMEM
+            # even when the TPS grid arrives f32 (grid einsums accumulate f32)
+            return grid_sample_pallas(image, grid.astype(image.dtype),
+                                      row_block=4, batch_block=4)
         return grid_sample_matmul(image, grid)
     return grid_sample_gather(image, grid)
 
@@ -143,44 +154,59 @@ def grid_sample_pallas(image: jnp.ndarray, grid: jnp.ndarray,
         return grid_sample_matmul(image, grid)
     p = row_block * wo
 
+    # Mosaic rejects in-kernel lane-dim reshapes ("unsupported shape cast"),
+    # so every reshape happens OUTSIDE the kernel: the image enters as
+    # [B, W, H*C], the grid/output as [B, Ho*Wo, .], and the H-tap reduction
+    # is a matmul with a constant [H*C, C] channel-selector instead of a
+    # reshape+sum.
+    img2 = jnp.transpose(image, (0, 2, 1, 3)).reshape(b, w, h * c)
+    grid2 = grid.reshape(b, ho * wo, 2)
+
     def kernel(img_ref, grid_ref, o_ref):
+        # R[h*C + c, c'] = 1 iff c == c' — folds the per-channel taps back
+        # to [P, C] on the MXU without any shape cast
+        lane = jax.lax.broadcasted_iota(jnp.int32, (h * c, c), 0) % c
+        col = jax.lax.broadcasted_iota(jnp.int32, (h * c, c), 1)
+        sel = jnp.where(lane == col, 1.0, 0.0)
+
         def body(g, _):
-            img = img_ref[pl.ds(g, 1)]                       # [1,H,W,C]
-            gblk = grid_ref[pl.ds(g, 1)].reshape(1, p, 2)    # [1,P,2]
+            img = img_ref[pl.ds(g, 1)]                       # [1, W, H*C]
+            gblk = grid_ref[pl.ds(g, 1)]                     # [1, P, 2]
             ix = _unnormalize(gblk[..., 0].astype(jnp.float32), w)
             iy = _unnormalize(gblk[..., 1].astype(jnp.float32), h)
 
-            def onehot(coord, size):
+            def onehot(coord, size, rep):
+                # one-hot over a [size*rep] axis whose position h repeats
+                # `rep` times (rep=1: plain one-hot)
                 x0, x1, fx = _corners(coord, size)
-                pos = jax.lax.broadcasted_iota(jnp.int32, (1, p, size), 2)
+                pos = jax.lax.broadcasted_iota(
+                    jnp.int32, (1, p, size * rep), 2) // rep
                 w0 = jnp.where(pos == x0[..., None], 1.0 - fx[..., None], 0.0)
                 w1 = jnp.where(pos == x1[..., None], fx[..., None], 0.0)
-                return w0 + w1                               # [1,P,size]
+                return w0 + w1                               # [1,P,size*rep]
 
-            wx = onehot(ix, w)
-            wy = onehot(iy, h)
-            i2 = jnp.transpose(img, (0, 2, 1, 3)).reshape(1, w, h * c)
+            wx = onehot(ix, w, 1)                            # [1,P,W]
+            wy = onehot(iy, h, c)                            # [1,P,H*C]
             t1 = jax.lax.dot_general(
-                wx, i2.astype(jnp.float32), (((2,), (1,)), ((0,), (0,))),
+                wx, img.astype(jnp.float32), (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32)          # [1,P,H*C]
-            t1 = t1.reshape(1, p, h, c)
-            out = jnp.sum(t1 * wy[..., None], axis=2)        # [1,P,C]
-            o_ref[pl.ds(g, 1)] = out.reshape(
-                1, row_block, wo, c).astype(o_ref.dtype)
+            out = jax.lax.dot_general(
+                t1 * wy, sel[None], (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)          # [1,P,C]
+            o_ref[pl.ds(g, 1)] = out.astype(o_ref.dtype)
             return _
 
         jax.lax.fori_loop(0, batch_block, body, None)
 
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=(b // batch_block, ho // row_block),
         in_specs=[
-            pl.BlockSpec((batch_block, h, w, c), lambda i, j: (i, 0, 0, 0)),
-            pl.BlockSpec((batch_block, row_block, wo, 2),
-                         lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((batch_block, w, h * c), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((batch_block, p, 2), lambda i, j: (i, j, 0)),
         ],
-        out_specs=pl.BlockSpec((batch_block, row_block, wo, c),
-                               lambda i, j: (i, j, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, ho, wo, c), image.dtype),
+        out_specs=pl.BlockSpec((batch_block, p, c), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, ho * wo, c), image.dtype),
         interpret=interpret,
-    )(image, grid)
+    )(img2, grid2)
+    return out.reshape(b, ho, wo, c)
