@@ -175,6 +175,7 @@ def run_strategy(il, args, source, memory_num, model_dims):
         manual_seed=args.seed,
         fisher_num_iter=max(1, args.num_iter // 4),  # EWC budget, scaled
         train_dtype="bf16" if args.bf16 else None,
+        start_task=args.start_task,
         output_dir=os.path.join(args.out, "saved"),
         data_log=os.path.join(args.out, f"data_{il}.txt"))
     opt.image_bank = source.device_bank()
@@ -229,6 +230,11 @@ def main():
                     help="run only the first N tasks (pilots)")
     ap.add_argument("--skip_done", action="store_true",
                     help="skip strategies whose <out>/<il>.json exists")
+    ap.add_argument("--start_task", type=int, default=0,
+                    help="reference start_task resume: tasks (and MRN "
+                         "half-steps) below this load their saved best "
+                         "checkpoint from <out>/saved/<exp> instead of "
+                         "training (crash recovery for long strategies)")
     ap.add_argument("--bf16", action="store_true",
                     help="mixed-precision training (bf16 compute, f32 master "
                          "params/opt state/BN stats) — needed to fit DER's "
