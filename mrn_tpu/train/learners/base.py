@@ -465,10 +465,13 @@ class BaseLearner:
         else:
             best_scores.append(round(sum(task_accs) / len(task_accs), 2))
             ned_scores.append(round(sum(ned_accs) / len(ned_accs), 2))
-            self.log.write(f"Task {taski} Test AIA: {best_scores[taski]}\n"
+            # [-1] == the just-appended stage mean ([taski] in the normal
+            # flow, but robust when earlier stages' evals were skipped on a
+            # checkpoint resume)
+            self.log.write(f"Task {taski} Test AIA: {best_scores[-1]}\n"
                            f"Task {taski} accs: {task_accs}\nned: {ned_accs}\n")
             self.log.write_data_log(
-                f"{taski} Avg Acc: {best_scores[taski]:0.2f} \n  acc: {task_accs}\n")
+                f"{taski} Avg Acc: {best_scores[-1]:0.2f} \n  acc: {task_accs}\n")
         return best_scores, ned_scores
 
     def double_write(self, taski, accs):

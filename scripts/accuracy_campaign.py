@@ -125,6 +125,14 @@ def run_incremental(opt, source, log):
             manager.init_start(opt, opt.select_data, log, taski)
         character = source.cumulative_character(taski)
         learner.incremental_train(taski, character, manager, val_ds)
+        if taski < opt.get("eval_from", 0):
+            # checkpoint-resumed stage whose row is already recorded: skip
+            # the pure-reporting evals, keep the state accumulation
+            learner.after_task()
+            stage_times.append(round(time.time() - t0, 1))
+            print(f"[{opt.il}] task {taski} ({opt.lan_list[taski]}): "
+                  f"resumed, eval skipped ({stage_times[-1]}s)", flush=True)
+            continue
         best_scores, ned_scores = learner.test(
             valid_datas, best_scores, ned_scores, taski,
             val_dataset_builder=_val_builder(opt, source))
@@ -175,7 +183,7 @@ def run_strategy(il, args, source, memory_num, model_dims):
         manual_seed=args.seed,
         fisher_num_iter=max(1, args.num_iter // 4),  # EWC budget, scaled
         train_dtype="bf16" if args.bf16 else None,
-        start_task=args.start_task,
+        start_task=args.start_task, eval_from=args.eval_from,
         output_dir=os.path.join(args.out, "saved"),
         data_log=os.path.join(args.out, f"data_{il}.txt"))
     opt.image_bank = source.device_bank()
@@ -189,7 +197,9 @@ def run_strategy(il, args, source, memory_num, model_dims):
 
     final_row = matrix[-1]
     # average forgetting: best-seen (diagonal) minus final, over tasks 0..n-2
-    if len(matrix) > 1:
+    if len(matrix) != len(final_row):
+        forgetting = None  # partial matrix (eval_from resume) — merge offline
+    elif len(matrix) > 1:
         forgetting = round(sum(matrix[j][j] - final_row[j]
                                for j in range(len(final_row) - 1))
                            / (len(final_row) - 1), 2)
@@ -235,6 +245,10 @@ def main():
                          "half-steps) below this load their saved best "
                          "checkpoint from <out>/saved/<exp> instead of "
                          "training (crash recovery for long strategies)")
+    ap.add_argument("--eval_from", type=int, default=0,
+                    help="with --start_task resume: skip the per-stage evals "
+                         "for tasks below this (their rows are already "
+                         "recorded), evaluating only the later stages")
     ap.add_argument("--bf16", action="store_true",
                     help="mixed-precision training (bf16 compute, f32 master "
                          "params/opt state/BN stats) — needed to fit DER's "
