@@ -240,11 +240,12 @@ def main():
                     help="run only the first N tasks (pilots)")
     ap.add_argument("--skip_done", action="store_true",
                     help="skip strategies whose <out>/<il>.json exists")
-    ap.add_argument("--start_task", type=int, default=0,
+    ap.add_argument("--start_task", type=float, default=0,
                     help="reference start_task resume: tasks (and MRN "
-                         "half-steps) below this load their saved best "
-                         "checkpoint from <out>/saved/<exp> instead of "
-                         "training (crash recovery for long strategies)")
+                         "half-steps — e.g. 5.5 resumes task 5's step 0 "
+                         "and retrains its router step) below this load "
+                         "their saved best checkpoint from <out>/saved/"
+                         "<exp> instead of training (crash recovery)")
     ap.add_argument("--eval_from", type=int, default=0,
                     help="with --start_task resume: skip the per-stage evals "
                          "for tasks below this (their rows are already "
