@@ -48,12 +48,18 @@ def grid_sample(image: jnp.ndarray, grid: jnp.ndarray,
     is defined for it, so the training path keeps the differentiable
     einsum formulation); other backends gather."""
     if jax.default_backend() == "tpu":
+        from mrn_tpu.parallel.mesh import get_mesh
+
         b = image.shape[0]
         ho = grid.shape[1]
-        if inference and b % 4 == 0 and ho % 4 == 0:
-            # batch_block=4 keeps the per-program tiles inside scoped VMEM
-            # even when the TPS grid arrives f32 (grid einsums accumulate f32)
-            return grid_sample_pallas(image, grid.astype(image.dtype),
+        if inference and b % 4 == 0 and ho % 4 == 0 and get_mesh() is None:
+            # batch_block=4 keeps the per-program tiles inside scoped VMEM.
+            # The grid stays f32 even for bf16 images: sampling coordinates
+            # quantized to 8 mantissa bits shift taps ~0.5px at imgW=256, and
+            # the grid block is only [batch_block, P, 2] so VMEM cost is nil.
+            # With a mesh installed the einsum path is used instead —
+            # pallas_call has no SPMD partitioning rule.
+            return grid_sample_pallas(image, grid.astype(jnp.float32),
                                       row_block=4, batch_block=4)
         return grid_sample_matmul(image, grid)
     return grid_sample_gather(image, grid)

@@ -52,9 +52,11 @@ def main():
         r = results[il]
         mark = f" ({len(r['acc_matrix'])}/6 stages)" if r.get("incomplete") \
             else ""
+        forget = ("—" if r.get("avg_forgetting") is None
+                  else f"{r['avg_forgetting']:.2f}")
         lines.append(
             f"| {il}{mark} | **{r['final_aia']:.2f}** |"
-            f" {r['avg_forgetting']:.2f} |"
+            f" {forget} |"
             f" {r['final_row']} | {r.get('train_dtype', 'f32')} |"
             f" {r['total_seconds']:.0f}s |")
 
@@ -93,32 +95,46 @@ def main():
     for il in ils:
         lines.append(f"| {il} | {results[il]['final_aia']:.2f} |"
                      f" ~{paper.get(il, '—')} |")
-    # acceptance is evaluated at stage 4 — the last stage where EVERY
-    # strategy's checkpoints were fully trained (MRN's stage-5 router phase
-    # was interrupted mid-training by the host oom-kill; see its note)
-    stage = 4
-    checks = []
-    def aia(il):
+    # acceptance is evaluated at the FINAL stage — the paper's headline is
+    # the 6-task endpoint; a per-stage breakdown follows so partial failures
+    # are visible rather than hidden behind a single favorable stage
+    def aia(il, stage):
         r = results.get(il)
         if r is None:
             return None
         if il == "joint_mix":
             return r["final_aia"]  # joint trains once; single stage
         s = r["aia_per_stage"]
-        return s[stage] if len(s) > stage else s[-1]
+        return s[stage] if len(s) > stage else None
     pairs = [("base", "wa"), ("base", "der"), ("base", "mrn"),
              ("wa", "der"), ("wa", "mrn"), ("der", "mrn"),
              ("mrn", "joint_mix")]
+    final_stage = max(len(results[il]["aia_per_stage"]) for il in ils
+                      if il != "joint_mix") - 1
+    checks = []
     for lo, hi in pairs:
-        a, b = aia(lo), aia(hi)
+        a, b = aia(lo, final_stage), aia(hi, final_stage)
         if a is None or b is None:
             continue
         ok = b > a if hi != "joint_mix" else b >= a * 0.9  # mrn ≈ joint
         checks.append(f"- {lo} ({a:.2f}) < {hi} ({b:.2f}): "
                       f"{'PASS' if ok else 'FAIL'}")
-    lines.append(f"\nChecks at stage {stage} AIA (last stage with"
-                 " fully-trained checkpoints for all strategies):\n")
+    lines.append(f"\nChecks at the FINAL stage ({final_stage}) AIA:\n")
     lines += checks
+    lines.append("\nPer-stage check results (stages 1..final):\n")
+    lines.append("| check | " + " | ".join(
+        f"s{s}" for s in range(1, final_stage + 1)) + " |")
+    lines.append("|---|" + "---|" * final_stage)
+    for lo, hi in pairs:
+        cells = []
+        for s in range(1, final_stage + 1):
+            a, b = aia(lo, s), aia(hi, s)
+            if a is None or b is None:
+                cells.append("—")
+            else:
+                ok = b > a if hi != "joint_mix" else b >= a * 0.9
+                cells.append("PASS" if ok else "FAIL")
+        lines.append(f"| {lo} < {hi} | " + " | ".join(cells) + " |")
     lines.append("\nRegularization-only methods (ewc/lwf) are expected only"
                  " to edge out base; on disjoint-alphabet tasks their"
                  " retention is structurally limited (no shared glyphs to"
