@@ -88,6 +88,12 @@ _DEFAULTS: Dict[str, Any] = dict(
     router_labels="reference",   # "reference" = memory-vs-current binary CE targets
     #                               (quirk of data_manage.py IndexConcatDataset nesting);
     #                               "task" = true per-task expert labels.
+    mrn_pin_expert_stats=True,   # run the frozen ensemble in inference mode during
+    #                               router training (no BN running-stat drift).
+    #                               False reproduces the reference quirk where val()
+    #                               flips frozen experts back to .train()
+    #                               (il_modules/mrn.py:401) and their stats slide
+    #                               toward the mixed rehearsal stream.
     output_dir="./saved_models",
     data_log="./data_any.txt",
 )

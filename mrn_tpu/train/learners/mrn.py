@@ -220,6 +220,25 @@ class MRN(BaseLearner):
         kwargs = {}
         if self.opt.Prediction == "Attn":
             kwargs["text"] = batch["label"][:, :-1]
+        if self.opt.get("mrn_pin_expert_stats", True):
+            # EVERY expert is frozen during router training (even the newest:
+            # update_step1 freezes+evals it, mrn.py:281-287), so the ensemble
+            # runs in inference mode: BN normalizes with each expert's own
+            # frozen running stats and nothing is mutated.  The reference
+            # instead drifts — its val() flips the whole net back to .train()
+            # after the iteration-1 validation (il_modules/mrn.py:401), so
+            # frozen experts' running stats slide toward the mixed rehearsal
+            # stream for the rest of the router phase.  On distribution-
+            # disjoint tasks that collapses final-stage accuracy (measured:
+            # stage-5 Bangla 11.4% with 83% correct routing, vs ~100% under
+            # pristine stats — scripts/router_diagnose2.py).  is_train=True
+            # keeps the soft routing combination (cross_forward semantics).
+            out = self.mrn_model.apply(
+                {"params": self._mp_cast(params), "batch_stats": batch_stats},
+                self._mp_cast(batch["image"]),
+                cross=True, train=False, is_train=True, **kwargs)
+            return self._mp_f32(out), batch_stats
+        # reference-quirk mode: experts run in train mode, stats drift
         out, mutated = self.mrn_model.apply(
             {"params": self._mp_cast(params),
              "batch_stats": batch_stats},  # f32 EMA base (see base.py)

@@ -23,7 +23,8 @@ def main():
     for path in glob.glob(os.path.join(args.runs, "*.json")):
         with open(path, encoding="utf-8") as f:
             r = json.load(f)
-        results[r["il"]] = r
+        if "il" in r:  # skip non-run artifacts (e.g. router_hist_*.json)
+            results[r["il"]] = r
     ils = [il for il in ORDER if il in results]
     if not ils:
         raise SystemExit(f"no runs found in {args.runs}")
@@ -67,7 +68,8 @@ def main():
     for il in ils:
         r = results[il]
         vals = r["aia_per_stage"]
-        row = [f"{v:.2f}" for v in vals] + ["—"] * (6 - len(vals))
+        row = ["—" if v is None else f"{v:.2f}" for v in vals] \
+            + ["—"] * (6 - len(vals))
         lines.append(f"| {il} | " + " | ".join(row) + " |")
 
     lines.append("\n## Accuracy matrices (rows = after task i; cols = task j)\n")
@@ -78,8 +80,11 @@ def main():
             LANS[:len(r['final_row'])]) + " |")
         lines.append("|---|" + "---|" * len(r["final_row"]))
         for i, row in enumerate(r["acc_matrix"]):
-            cells = [f"{v:.1f}" for v in row] + \
-                ["—"] * (len(r["final_row"]) - len(row))
+            if row is None:  # stage skipped by a checkpoint-resumed run
+                cells = ["—"] * len(r["final_row"])
+            else:
+                cells = [f"{v:.1f}" for v in row] + \
+                    ["—"] * (len(r["final_row"]) - len(row))
             lines.append(f"| {i} | " + " | ".join(cells) + " |")
 
     # ordering acceptance check (BASELINE.md: the paper's qualitative result)

@@ -76,13 +76,23 @@ def test_der_expands_and_freezes(tmp_path):
 
 
 @pytest.mark.slow
-def test_mrn_two_tasks(tmp_path):
+def test_mrn_two_tasks(tmp_path, monkeypatch):
     from mrn_tpu.train.learners.mrn import MRN
     opt = tiny_opt(il="mrn", memory="random", memory_num=8, num_iter=4,
                    val_interval=2, lan_list=["T0", "T1"],
                    output_dir=str(tmp_path / "s"), data_log=str(tmp_path / "d.txt"))
     source = make_source(opt)
     learner = MRN(opt)
+    # snapshot each expert's BN stats at the moment it is frozen
+    import jax
+    frozen_stats = {}
+    orig_freeze = MRN._freeze_newest
+
+    def spy(self):
+        orig_freeze(self)
+        frozen_stats[len(self.expert_params) - 1] = jax.tree_util.tree_map(
+            lambda x: np.array(x), self.expert_stats[-1])
+    monkeypatch.setattr(MRN, "_freeze_newest", spy)
     best, _ = run_tasks(learner, opt, source, 2, tmp_path)
     assert len(learner.expert_params) == 2
     assert learner.class_counts[0] < learner.class_counts[1]
@@ -92,6 +102,16 @@ def test_mrn_two_tasks(tmp_path):
     assert (exp_dir / "T0_0_0_best_score.msgpack").exists()
     assert (exp_dir / "T1_1_0_best_score.msgpack").exists()
     assert (exp_dir / "T1_1_1_best_score.msgpack").exists()
+
+    # mrn_pin_expert_stats (default): router training must leave every
+    # frozen expert's BN running stats bit-identical to its freeze-time
+    # snapshot (the reference drifts them, il_modules/mrn.py:401 — measured to
+    # collapse final-stage accuracy; see scripts/router_diagnose2.py)
+    assert set(frozen_stats) == {0, 1}
+    for i, snap in frozen_stats.items():
+        for a, b in zip(jax.tree_util.tree_leaves(learner.expert_stats[i]),
+                        jax.tree_util.tree_leaves(snap)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_joint_mix(tmp_path):
