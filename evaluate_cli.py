@@ -90,10 +90,12 @@ def load_learner(opt, saved_model: str, last_task: int):
     learner.params = payload["params"]
     learner.batch_stats = payload["batch_stats"]
     if opt.il == "mrn":
-        # the checkpoint carries the composite expert state
-        learner.expert_params = list(payload.get("experts", []))
-        learner.expert_stats = list(payload.get("expert_stats", []))
-        learner.router_params = payload.get("router") or None
+        # the checkpoint carries the composite expert state — inline, or as
+        # content-addressed blob refs resolved next to the checkpoint file
+        learner.restore_composite(
+            payload,
+            expert_dir=os.path.join(os.path.dirname(os.path.abspath(saved_model)),
+                                    "experts"))
         learner._phase = "standalone" if last_task == 0 else "routed"
         if last_task > 0:
             learner.class_counts = [

@@ -94,6 +94,14 @@ _DEFAULTS: Dict[str, Any] = dict(
     #                               flips frozen experts back to .train()
     #                               (il_modules/mrn.py:401) and their stats slide
     #                               toward the mixed rehearsal stream.
+    full_ckpt=False,             # rolling full-state snapshot (params + opt
+    #                               state + PRNG + memory indices) at each val
+    #                               boundary — iteration-granular crash
+    #                               recovery (SURVEY §5; the reference only
+    #                               saves model weights, base.py:328-332)
+    resume_full=False,           # resume mid-stage from the rolling snapshot
+    #                               (bitwise continuation; pairs with the
+    #                               campaign's coarse start_task replay)
     output_dir="./saved_models",
     data_log="./data_any.txt",
 )

@@ -87,6 +87,14 @@ class EpochLoader:
         self._pos += self.batch_size
         return self._collate([self.dataset[int(i)] for i in sel])
 
+    def skip_batch(self):
+        """Advance the stream by one batch WITHOUT materializing images —
+        identical index/rng consumption to next_batch.  Used by full-state
+        resume to fast-forward the loader to a checkpointed iteration."""
+        if self._pos >= len(self._order):
+            self._new_epoch()
+        self._pos += self.batch_size
+
     def __iter__(self):
         self._new_epoch()
         while self._pos < len(self._order):
@@ -170,6 +178,9 @@ class DatasetManager:
 
     def get_dataset(self, taski, memory="random", index_list=None):
         self.loaders = []
+        # full-state resume replays this build after restoring the generator
+        # to this exact state, reproducing loader shuffles bitwise
+        self.rng_state_at_build = self.rng.bit_generator.state
         memory_num = self.opt.memory_num
         dataset = self.create_dataset(data_list=self.select_data, taski=taski)
 
@@ -242,6 +253,14 @@ class DatasetManager:
             labels += list(lb)
             idxs.append(ix)
         return np.concatenate(images, 0), labels, np.concatenate(idxs, 0)
+
+    def skip_batches(self, n: int):
+        """Fast-forward the stream by ``n`` get_batch rounds (each round draws
+        one batch per loader, in loader order — the exact consumption pattern
+        of the training loop) without materializing any images."""
+        for _ in range(n):
+            for loader in self.loaders:
+                loader.skip_batch()
 
 
 class ValDataset:

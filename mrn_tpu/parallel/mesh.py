@@ -22,7 +22,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["set_data_parallel", "set_expert_parallel", "get_mesh",
-           "shard_batch", "shard_experts", "replicate"]
+           "shard_batch", "shard_experts", "replicate", "gather_for_host"]
 
 _MESH: Optional[Mesh] = None
 
@@ -90,6 +90,22 @@ def shard_experts(tree, n_experts: int):
         return jax.device_put(leaf, full_s)
 
     return jax.tree_util.tree_map(place, tree)
+
+
+def gather_for_host(tree):
+    """Constrain a jitted function's outputs to fully-replicated layout.
+    Multi-host runs shard eval batches over the global mesh, so outputs the
+    host must read (greedy indices, max-probs) would otherwise span
+    non-addressable devices and np.asarray would fail; the constraint makes
+    XLA all-gather them inside the program.  Identity without a mesh (and a
+    no-op partition-wise on single-host meshes, where outputs are already
+    addressable)."""
+    if _MESH is None:
+        return tree
+    import jax.lax
+    sharding = NamedSharding(_MESH, P())
+    return jax.tree_util.tree_map(
+        lambda l: jax.lax.with_sharding_constraint(l, sharding), tree)
 
 
 def replicate(tree):

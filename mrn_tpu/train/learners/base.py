@@ -25,7 +25,9 @@ from mrn_tpu.codec import build_converter
 from mrn_tpu.models.composer import build_recognizer
 from mrn_tpu.models.surgery import apply_reference_init, count_params, grow_fc
 from mrn_tpu.parallel.mesh import shard_batch
-from mrn_tpu.train.checkpoint import best_model_path, load_model, save_model
+from mrn_tpu.train.checkpoint import (best_model_path, load_model, save_model,
+                                      load_train_state, save_train_state,
+                                      train_state_path)
 from mrn_tpu.train.evaluate import validation
 from mrn_tpu.train.optim import build_optimizer, build_schedule
 from mrn_tpu.train.steps import TrainState, make_train_step, recognition_loss
@@ -254,8 +256,10 @@ class BaseLearner:
         train_loss_avg = Averager()
         start_time = time.time()
         self.best_score = -1.0
+        start_iter = self._maybe_resume_full(start_iter, taski, step,
+                                             train_loader)
         state = TrainState(self.params, self.batch_stats, self.opt_state,
-                           jnp.asarray(0, jnp.int32))
+                           jnp.asarray(start_iter, jnp.int32))
         train_step = self.get_train_step()
         aux = self.train_aux()
         meter = StepMeter()
@@ -297,11 +301,103 @@ class BaseLearner:
                     self.val(valid_loader, self.opt, self.best_score, start_time,
                              iteration, train_loss_avg, taski, step=step)
                 train_loss_avg.reset()
+                if self.opt.get("full_ckpt") and iteration < num_iter:
+                    self._save_full_state(taski, step, iteration, state,
+                                          train_loader)
 
         if prefetcher is not None:
             prefetcher.close()
         self.params, self.batch_stats, self.opt_state = \
             state.params, state.batch_stats, state.opt_state
+        if self.opt.get("full_ckpt"):
+            # the stage completed — drop the rolling mid-stage snapshot so a
+            # later resume_full run can't rewind into a finished stage
+            path = self._train_state_path(taski, step)
+            if os.path.exists(path):
+                os.remove(path)
+
+    # ------------------------------------------------- full-state checkpoints
+    # SURVEY §5 / VERDICT r2 #5: iteration-granular crash recovery.  The
+    # rolling snapshot holds device state (params/batch_stats/opt_state incl.
+    # the OneCycle counter) plus host state (jax PRNG key, numpy Generator,
+    # memory_index, best_score).  Resume replays the deterministic task-start
+    # path, restores the snapshot, and fast-forwards the data stream by
+    # skipping index draws (DatasetManager.skip_batches) — giving a bitwise
+    # continuation of the uninterrupted run (tests/test_full_ckpt.py).
+
+    def _train_state_path(self, taski, step):
+        return train_state_path(self.opt.get("output_dir", "./saved_models"),
+                                self.opt.exp_name, self.opt.lan_list[taski],
+                                taski, step)
+
+    def _host_state(self, train_loader=None):
+        host = {"np_rng": self.np_rng.bit_generator.state,
+                "memory_index": [np.asarray(ix) for ix in self.memory_index],
+                "best_score": self.best_score}
+        if train_loader is not None and hasattr(train_loader,
+                                                "rng_state_at_build"):
+            host["manager_rng_at_build"] = train_loader.rng_state_at_build
+        return host
+
+    def _restore_host_state(self, host):
+        self.np_rng.bit_generator.state = host["np_rng"]
+        self.memory_index = [np.asarray(ix) for ix in host["memory_index"]]
+        self.best_score = float(host["best_score"])
+
+    def _rebuild_stream(self, train_loader, taski, step):
+        """Re-run the loader-build call that preceded the crashed loop (with
+        the manager generator restored to its at-build state, so shuffles
+        replay bitwise).  Learners with other stream shapes override."""
+        if taski == 0 or self.opt.memory is None:
+            train_loader.get_dataset(taski, memory=None if taski == 0
+                                     else self.opt.memory)
+        else:
+            train_loader.get_dataset(taski, memory=self.opt.memory,
+                                     index_list=self.memory_index)
+
+    def _restore_stream(self, train_loader, host, taski, step, iteration):
+        """Restore the data stream to its consumed position at ``iteration``:
+        rewind the manager generator to the at-build state, rebuild the
+        loaders (reproducing construction-time shuffles), then skip the
+        consumed index draws without materializing images."""
+        if train_loader is None or not hasattr(train_loader, "skip_batches"):
+            return
+        if "manager_rng_at_build" in host and hasattr(train_loader, "rng"):
+            train_loader.rng.bit_generator.state = host["manager_rng_at_build"]
+            self._rebuild_stream(train_loader, taski, step)
+        train_loader.skip_batches(iteration)
+
+    def _save_full_state(self, taski, step, iteration, state,
+                         train_loader=None):
+        save_train_state(self._train_state_path(taski, step),
+                         params=state.params, batch_stats=state.batch_stats,
+                         opt_state=state.opt_state, iteration=iteration,
+                         rng_key=self.rng,
+                         host_state=self._host_state(train_loader))
+
+    def _maybe_resume_full(self, start_iter, taski, step, train_loader):
+        """If opt.resume_full is set and a rolling snapshot exists for this
+        (task, step), restore it and fast-forward the data stream.  Returns
+        the iteration to resume from (else ``start_iter`` unchanged)."""
+        if not self.opt.get("resume_full"):
+            return start_iter
+        path = self._train_state_path(taski, step)
+        if not os.path.exists(path):
+            return start_iter
+        payload = load_train_state(path, opt_state_template=self.opt_state)
+        import flax.serialization
+        self.params = flax.serialization.from_state_dict(self.params,
+                                                         payload["params"])
+        self.batch_stats = flax.serialization.from_state_dict(
+            self.batch_stats, payload["batch_stats"])
+        self.opt_state = payload["opt_state"]
+        self.rng = jnp.asarray(payload["rng_key"])
+        self._restore_host_state(payload["host_state"])
+        iteration = payload["iteration"]
+        self._restore_stream(train_loader, payload["host_state"], taski, step,
+                             iteration)
+        self.log.write(f"Task {taski} resume from {path} @ iter {iteration}.\n")
+        return iteration
 
     def _init_train(self, start_iter, taski, train_loader, valid_loader):
         self._run_loop(start_iter, taski, train_loader, valid_loader)
@@ -377,12 +473,13 @@ class BaseLearner:
                 lsum = jnp.where(valid, jnp.where(jnp.isfinite(per), per, 0.0), 0.0).sum()
                 lcount = valid.sum()
             probs = jax.nn.softmax(logits, axis=2)
-            return {
+            from mrn_tpu.parallel.mesh import gather_for_host
+            return gather_for_host({
                 "preds_index": jnp.argmax(logits, 2).astype(jnp.int32),
                 "max_probs": jnp.max(probs, 2),
                 "loss_sum": lsum,
                 "loss_count": lcount,
-            }
+            })
 
         def eval_batch(images, labels_index, lengths):
             return eval_fn(self.params, self.batch_stats,

@@ -18,6 +18,8 @@ current task's router params.  Checkpoints serialize the whole composite.
 
 from __future__ import annotations
 
+import hashlib
+import os
 import time
 from typing import List
 
@@ -30,7 +32,9 @@ from mrn_tpu.models.mrn import (MRNNet, stack_expert_params,
                                 unstack_expert_stats)
 from mrn_tpu.models.surgery import apply_reference_init
 from mrn_tpu.ops.losses import cross_entropy_dense
-from mrn_tpu.train.checkpoint import best_model_path, load_model, save_model
+from mrn_tpu.train.checkpoint import (best_model_path, deep_merge, load_model,
+                                      load_train_state, prune_named_subtrees,
+                                      save_model, save_train_state)
 from mrn_tpu.train.learners.base import BaseLearner
 from mrn_tpu.train.steps import recognition_loss
 
@@ -47,6 +51,7 @@ class MRN(BaseLearner):
         self.router_params = None
         self.mrn_model = None   # MRNNet module for the current task
         self._phase = "standalone"  # "standalone" | "routed"
+        self._expert_hashes: List = []  # content hashes, aligned w/ experts
 
     # ------------------------------------------------------------- model mgmt
 
@@ -168,10 +173,16 @@ class MRN(BaseLearner):
 
     def _freeze_newest(self):
         """update_step1 tail: freeze + eval the newest expert (mrn.py:285-287).
-        The expert list absorbs the current standalone params."""
+        The expert list absorbs the current standalone params; the frozen
+        expert is written once as a content-addressed blob so later best-score
+        checkpoints reference it instead of re-serializing it (the reference
+        re-saves the whole MRNNet on every new best, mrn.py:411-415 — at 6
+        experts that's ~50MB per save over the slow host link)."""
         self.expert_params.append(self.params)
         self.expert_stats.append(self.batch_stats)
         self.class_counts.append(self._total_classes)
+        self._expert_hashes.append(None)
+        self._ensure_expert_blobs()
 
     # ---- step-1: router training over the stacked ensemble -----------------
 
@@ -201,11 +212,15 @@ class MRN(BaseLearner):
                        num_iter=n_iter, get_batch=train_loader.get_batch2,
                        step=1, val_interval=max(1, self.opt.val_interval // 5))
 
-        # write back drifted expert batch stats; keep router params
-        if self.batch_stats:
+        # write back drifted expert batch stats; keep router params.  In the
+        # default pinned mode nothing mutates, so skip the write-back (and
+        # keep the content hashes valid); quirk mode invalidates the hashes
+        # so the next best-save re-blobs the drifted experts.
+        if self.batch_stats and not self.opt.get("mrn_pin_expert_stats", True):
             per_expert = unstack_expert_stats(self.batch_stats["experts"],
                                               len(self.expert_params))
             self.expert_stats = per_expert
+            self._expert_hashes = [None] * len(self.expert_params)
         self.router_params = {k: self.params[k]
                               for k in ("dm_router", "channel_route", "route")}
 
@@ -298,10 +313,120 @@ class MRN(BaseLearner):
     def _ckpt_step_tag(self):
         return 0 if self._cur_task == 0 else 1
 
+    # ----------------------------------------------- full-state checkpoints
+    # Router-phase snapshots persist only what replay can't reconstruct: the
+    # router subtrees, the optimizer state minus the frozen experts' (zeroed)
+    # Adam moments, and — in reference-quirk mode — the drifting expert batch
+    # stats.  The frozen expert stack itself (~200MB at stage 5, plus 2x that
+    # in Adam moments) is reassembled from the expert list on resume, so a
+    # rolling snapshot costs ~1MB instead of ~600MB over the slow tunnel.
+
+    _ROUTER_KEYS = ("dm_router", "channel_route", "route")
+
+    def _rebuild_stream(self, train_loader, taski, step):
+        if step == 0 or taski == 0:
+            train_loader.get_dataset(taski, memory=None)
+        else:
+            train_loader.get_dataset(taski, memory=self.opt.memory,
+                                     index_list=self.memory_index)
+
+    def _save_full_state(self, taski, step, iteration, state,
+                         train_loader=None):
+        if self._phase != "routed":
+            return super()._save_full_state(taski, step, iteration, state,
+                                            train_loader)
+        import flax.serialization
+        params = {k: v for k, v in state.params.items() if k != "experts"}
+        pinned = self.opt.get("mrn_pin_expert_stats", True)
+        stats = {} if pinned else state.batch_stats
+        opt_sd = prune_named_subtrees(
+            flax.serialization.to_state_dict(state.opt_state), "experts")
+        save_train_state(self._train_state_path(taski, step),
+                         params=params, batch_stats=stats, opt_state=opt_sd,
+                         iteration=iteration, rng_key=self.rng,
+                         host_state=self._host_state(train_loader))
+
+    def _maybe_resume_full(self, start_iter, taski, step, train_loader):
+        if self._phase != "routed":
+            return super()._maybe_resume_full(start_iter, taski, step,
+                                              train_loader)
+        if not self.opt.get("resume_full"):
+            return start_iter
+        path = self._train_state_path(taski, step)
+        if not os.path.exists(path):
+            return start_iter
+        import flax.serialization
+        payload = load_train_state(path)
+        # router params overlay the freshly assembled composite tree
+        params = dict(self.params)
+        for k in self._ROUTER_KEYS:
+            params[k] = flax.serialization.from_state_dict(self.params[k],
+                                                           payload["params"][k])
+        self.params = params
+        if payload["batch_stats"]:  # quirk mode: drifted expert stats persist
+            self.batch_stats = flax.serialization.from_state_dict(
+                self.batch_stats, payload["batch_stats"])
+        opt_sd = flax.serialization.to_state_dict(self.opt_state)
+        deep_merge(opt_sd, payload["opt_state"])
+        self.opt_state = flax.serialization.from_state_dict(self.opt_state,
+                                                            opt_sd)
+        self.rng = jnp.asarray(payload["rng_key"])
+        self._restore_host_state(payload["host_state"])
+        iteration = payload["iteration"]
+        self._restore_stream(train_loader, payload["host_state"], taski, step,
+                             iteration)
+        self.log.write(f"Task {taski} resume router from {path} "
+                       f"@ iter {iteration}.\n")
+        return iteration
+
     # --------------------------------------------------------- checkpointing
-    # MRN checkpoints serialize the whole composite: current-phase params,
-    # the frozen expert list, stats and the router (the reference saves the
-    # whole MRNNet state dict, mrn.py:411-415).
+    # The reference re-serializes the whole MRNNet state dict on every new
+    # best (mrn.py:411-415).  Here frozen experts are content-addressed blobs
+    # under {exp_name}/experts/, written once when frozen; best-score
+    # checkpoints store only the live params (router, in the routed phase),
+    # the stats and the blob references — ~6x less checkpoint traffic at
+    # stage 5.  _load_best accepts both this layout and the legacy inline
+    # 'experts' list (pre-round-3 checkpoints).
+
+    def _expert_dir(self):
+        return os.path.join(self.opt.get("output_dir", "./saved_models"),
+                            self.opt.exp_name, "experts")
+
+    @staticmethod
+    def _tree_hash(*trees):
+        import flax.serialization
+        h = hashlib.sha1()
+
+        def walk(x):
+            if isinstance(x, dict):
+                for k in sorted(x):
+                    h.update(str(k).encode())
+                    walk(x[k])
+            else:
+                arr = np.asarray(x)
+                h.update(str(arr.dtype).encode())
+                h.update(str(arr.shape).encode())
+                h.update(arr.tobytes())
+
+        for t in trees:
+            walk(flax.serialization.to_state_dict(jax.device_get(t)))
+        return h.hexdigest()[:16]
+
+    def _ensure_expert_blobs(self):
+        """Write a blob for every expert lacking one; returns the ref list."""
+        for i, (p, s) in enumerate(zip(self.expert_params, self.expert_stats)):
+            if i < len(self._expert_hashes) and self._expert_hashes[i]:
+                continue
+            ref = self._tree_hash(p, s)
+            path = os.path.join(self._expert_dir(), f"{ref}.msgpack")
+            if not os.path.exists(path):
+                save_model(path, p, s,
+                           extra={"class_count": self.class_counts[i]
+                                  if i < len(self.class_counts) else 0})
+            while len(self._expert_hashes) <= i:
+                self._expert_hashes.append(None)
+            self._expert_hashes[i] = ref
+        return list(self._expert_hashes[:len(self.expert_params)])
 
     def _save_best(self, taski, step=None):
         path = best_model_path(self.opt.get("output_dir", "./saved_models"),
@@ -311,21 +436,51 @@ class MRN(BaseLearner):
         if isinstance(self.params, dict) and "dm_router" in self.params:
             router = {k: self.params[k]
                       for k in ("dm_router", "channel_route", "route")}
-        save_model(path, self.params, self.batch_stats,
-                   extra={"experts": list(self.expert_params),
+        refs = self._ensure_expert_blobs()
+        params = self.params
+        stats = self.batch_stats
+        if isinstance(params, dict) and "experts" in params:
+            # routed phase: the stacked expert axis is reconstructable from
+            # the blobs — persist only the router subtrees
+            params = {k: v for k, v in params.items() if k != "experts"}
+            if isinstance(stats, dict) and "experts" in stats:
+                stats = {k: v for k, v in stats.items() if k != "experts"}
+        save_model(path, params, stats,
+                   extra={"expert_refs": refs,
                           "expert_stats": list(self.expert_stats),
                           "router": router})
+
+    def restore_composite(self, payload, expert_dir=None):
+        """Restore the composite expert state from a best-score payload —
+        both the blob-referencing layout (``expert_refs`` resolved under
+        ``expert_dir``, default this learner's experts/ dir) and the legacy
+        inline ``experts`` list.  Shared by _load_best and evaluate_cli."""
+        self.params = payload["params"]
+        self.batch_stats = payload["batch_stats"]
+        if payload.get("expert_refs"):
+            refs = [r.decode() if isinstance(r, bytes) else str(r)
+                    for r in payload["expert_refs"]]
+            self.expert_params, self.expert_stats = [], []
+            for ref in refs:
+                blob = load_model(os.path.join(expert_dir or self._expert_dir(),
+                                               f"{ref}.msgpack"))
+                self.expert_params.append(blob["params"])
+                self.expert_stats.append(blob["batch_stats"])
+            self._expert_hashes = refs
+            # quirk mode: drifted stats in the payload supersede blob stats
+            if payload.get("expert_stats"):
+                self.expert_stats = list(payload["expert_stats"])
+        else:  # legacy inline layout (pre-round-3 checkpoints)
+            self.expert_params = list(payload.get("experts", []))
+            self.expert_stats = list(payload.get("expert_stats", []))
+            self._expert_hashes = [None] * len(self.expert_params)
+        self.router_params = payload.get("router") or None
 
     def _load_best(self, taski, step=None):
         path = best_model_path(self.opt.get("output_dir", "./saved_models"),
                                self.opt.exp_name, self.opt.lan_list[taski],
                                taski, step)
-        payload = load_model(path)
-        self.params = payload["params"]
-        self.batch_stats = payload["batch_stats"]
-        self.expert_params = list(payload.get("experts", []))
-        self.expert_stats = list(payload.get("expert_stats", []))
-        self.router_params = payload.get("router") or None
+        self.restore_composite(load_model(path))
         self.log.write(f"Task {taski} load checkpoint from {path}.\n")
 
     def test(self, valid_datas, best_scores, ned_scores, taski,

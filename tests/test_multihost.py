@@ -10,6 +10,8 @@ import subprocess
 import sys
 import textwrap
 
+import pytest
+
 WORKER = textwrap.dedent("""
     import os, sys
     os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
@@ -55,6 +57,100 @@ WORKER = textwrap.dedent("""
     np.testing.assert_allclose(grad, ref_grad, rtol=1e-5)
     print(f"proc{pid} OK val={val:.3f}")
 """)
+
+
+TRAIN_WORKER = textwrap.dedent("""
+    import os, sys
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
+                               " --xla_force_host_platform_device_count=4")
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    coord, pid, outdir, tests_dir = sys.argv[1:5]
+    pid = int(pid)
+    from mrn_tpu.parallel import multihost
+    from mrn_tpu.parallel.mesh import set_data_parallel
+
+    if coord != "single":
+        rank, count = multihost.initialize(coordinator_address=coord,
+                                           num_processes=2, process_id=pid)
+        assert len(jax.devices()) == 8
+    else:
+        # single-process reference over the same 8-device mesh topology
+        os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
+                                   " --xla_force_host_platform_device_count=8")
+    set_data_parallel()
+
+    sys.path.insert(0, tests_dir)
+    from helpers import make_manager, make_source, make_val, tiny_opt
+    from mrn_tpu.train.learners.base import BaseLearner
+
+    # the REAL BaseLearner jitted train step (forward+backward+clip+Adam+
+    # OneCycle) over the global mesh — seeded loaders assemble the same
+    # global batch in every process, shard_batch slices the local shard
+    opt = tiny_opt(num_iter=4, val_interval=4, batch_size=16,
+                   lan_list=["T0"],
+                   output_dir=os.path.join(outdir, f"saved{pid}"),
+                   data_log=os.path.join(outdir, f"log{pid}.txt"))
+    source = make_source(opt)
+    learner = BaseLearner(opt)
+    manager = make_manager(opt, source)
+    manager.init_start(opt, opt.select_data, None, 0)
+    learner.incremental_train(0, source.cumulative_character(0), manager,
+                              make_val(opt, source, 0))
+    if pid == 0:
+        leaves = jax.tree_util.tree_leaves(jax.device_get(learner.params))
+        np.savez(os.path.join(outdir, "params.npz"),
+                 **{str(i): np.asarray(l) for i, l in enumerate(leaves)})
+    print(f"proc{pid} TRAIN OK")
+""")
+
+
+def _run_train_worker(tmp_path, coord, pid, outdir):
+    script = tmp_path / "train_worker.py"
+    script.write_text(TRAIN_WORKER)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tests_dir = os.path.join(repo_root, "tests")
+    env = dict(os.environ,
+               PYTHONPATH=repo_root + os.pathsep + os.environ.get("PYTHONPATH", ""))
+    return subprocess.Popen(
+        [sys.executable, str(script), coord, str(pid), str(outdir), tests_dir],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
+
+
+@pytest.mark.slow
+def test_two_process_real_train_step(tmp_path):
+    """VERDICT r2 #8: the actual BaseLearner jitted train step across 2
+    processes produces the same parameters as the single-process run over
+    an identical 8-device mesh."""
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+
+    multi_dir = tmp_path / "multi"
+    single_dir = tmp_path / "single"
+    multi_dir.mkdir()
+    single_dir.mkdir()
+
+    procs = [_run_train_worker(tmp_path, coord, i, multi_dir)
+             for i in range(2)]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc{i} failed:\n{out}"
+        assert f"proc{i} TRAIN OK" in out
+
+    ref = _run_train_worker(tmp_path, "single", 0, single_dir)
+    out, _ = ref.communicate(timeout=600)
+    assert ref.returncode == 0, f"single-proc reference failed:\n{out}"
+
+    import numpy as np
+    multi = np.load(multi_dir / "params.npz")
+    single = np.load(single_dir / "params.npz")
+    assert set(multi.files) == set(single.files)
+    for k in multi.files:
+        np.testing.assert_allclose(multi[k], single[k], rtol=1e-6, atol=1e-7)
 
 
 def test_two_process_data_parallel(tmp_path):
