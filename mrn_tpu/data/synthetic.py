@@ -129,11 +129,22 @@ def make_task_suite(task_alphabets: Sequence[str], n_train, n_test,
                     img_h: int = 32, img_w: int = 64, seed: int = 0,
                     min_len: int = 1, max_len: int = 4,
                     renderer: str = "bands", pretransformed: bool = False,
-                    zipf: float = 0.0):
+                    zipf: float = 0.0, shared_alphabet: str = ""):
     """Per-task train/test ArrayDatasets + per-task dict lists (the synthetic
     MLT17-like incremental suite).  ``n_train``/``n_test`` may be ints or
     per-task sequences (to echo MLT's skewed per-task instance counts).
+
+    ``shared_alphabet``: characters prepended to EVERY task's alphabet —
+    the digits/punctuation slice real MLT scripts share (reference
+    README.md:94-103: Latin digits appear in all six language tasks).  With
+    zipf > 0 the shared slice occupies the top frequency ranks, so shared
+    glyphs dominate words exactly like digits/punctuation do in scene text.
+    Cross-task glyph overlap is what makes regularization-based retention
+    (EWC/LwF) measurable: on fully disjoint alphabets there is nothing for a
+    penalty on old parameters to preserve (VERDICT r2 #4).
     Returns (trains, tests, dicts)."""
+    if shared_alphabet:
+        task_alphabets = [shared_alphabet + a for a in task_alphabets]
     trains, tests, dicts = [], [], []
     # global cross-task index mapping for the bit renderer: task identity is
     # readable from the bit pattern (disjoint index ranges per task)

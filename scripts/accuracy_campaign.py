@@ -58,18 +58,29 @@ GEN_PARAMS = dict(min_len=1, max_len=10, renderer="bits", zipf=1.0,
                   classes=CLASSES, n_test=N_TEST)
 
 
-def build_source(opt, seed=111, cache_dir=None):
+def build_source(opt, seed=111, cache_dir=None, shared=0):
+    """``shared`` > 0 prepends a shared glyph slice (the digits/punctuation
+    analogue — real MLT scripts share Latin digits, reference
+    README.md:94-103) to EVERY task alphabet, drawn from a span disjoint from
+    all task spans.  With the Zipf character law the shared slice occupies
+    the top frequency ranks, so shared glyphs dominate words like digits do
+    in scene text — the cross-task overlap that makes EWC/LwF retention
+    measurable (VERDICT r2 #4)."""
     spans, start = [], 0x4E00
     for n in CLASSES:
         spans.append(alphabet_of_size(n, start))
         start += n
+    if shared:
+        shared_slice = alphabet_of_size(shared, 0x3000)
+        spans = [shared_slice + s for s in spans]
     cache = None
     if cache_dir:
         # the tag hashes every generation parameter, so editing the suite
         # definition above invalidates the cache instead of silently serving
         # stale data
         import hashlib
-        h = hashlib.sha1(json.dumps(GEN_PARAMS, sort_keys=True)
+        params = dict(GEN_PARAMS, shared=shared) if shared else GEN_PARAMS
+        h = hashlib.sha1(json.dumps(params, sort_keys=True)
                          .encode()).hexdigest()[:8]
         tag = f"s{seed}_n{sum(N_TRAIN)}_{opt.imgH}x{opt.imgW}_{h}"
         cache = os.path.join(cache_dir, f"suite_{tag}")
@@ -210,6 +221,7 @@ def run_strategy(il, args, source, memory_num, model_dims):
         "train_dtype": "bf16" if args.bf16 else "f32",
         "batch_size": args.batch_size, "seed": args.seed,
         "classes": CLASSES, "n_train": N_TRAIN, "n_test": N_TEST,
+        "shared_glyphs": args.shared,
         "aia_per_stage": aia, "final_aia": aia[-1],
         "acc_matrix": matrix, "final_row": final_row,
         "avg_forgetting": forgetting,
@@ -250,6 +262,11 @@ def main():
                     help="with --start_task resume: skip the per-stage evals "
                          "for tasks below this (their rows are already "
                          "recorded), evaluating only the later stages")
+    ap.add_argument("--shared", type=int, default=0,
+                    help="size of the shared glyph slice prepended to every "
+                         "task alphabet (the digits/punctuation analogue; "
+                         "makes EWC/LwF retention measurable).  Use a "
+                         "separate --out dir for overlap-suite runs")
     ap.add_argument("--bf16", action="store_true",
                     help="mixed-precision training (bf16 compute, f32 master "
                          "params/opt state/BN stats) — needed to fit DER's "
@@ -275,7 +292,8 @@ def main():
     opt_shape = default_options(imgH=32, imgW=256)
     t_build = time.time()
     source = build_source(opt_shape, seed=args.seed,
-                          cache_dir=None if args.smoke else args.out)
+                          cache_dir=None if args.smoke else args.out,
+                          shared=args.shared)
     # HBM-resident image bank: every loader batch is int32 indices; gather +
     # normalize run on device (the tunneled H2D link would otherwise dominate
     # at 33MB/step).  Uploaded ONCE for all strategies in this process.

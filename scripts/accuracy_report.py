@@ -143,7 +143,47 @@ def main():
     lines.append("\nRegularization-only methods (ewc/lwf) are expected only"
                  " to edge out base; on disjoint-alphabet tasks their"
                  " retention is structurally limited (no shared glyphs to"
-                 " anchor old-task features).\n")
+                 " anchor old-task features) — so their ordering checks run"
+                 " on the OVERLAP suite below, not here.\n")
+
+    # ---- overlap-suite regularization checks (VERDICT r2 #4) -------------
+    # a separate campaign dir (accuracy_campaign.py --shared N --out
+    # <runs>/overlap) whose tasks share a glyph slice, the analogue of MLT's
+    # cross-script Latin digits (reference README.md:94-103) — the structure
+    # EWC/LwF need for measurable retention
+    ov_dir = os.path.join(args.runs, "overlap")
+    ov = {}
+    for path in glob.glob(os.path.join(ov_dir, "*.json")):
+        with open(path, encoding="utf-8") as f:
+            r = json.load(f)
+        if "il" in r:
+            ov[r["il"]] = r
+    if ov:
+        shared = next(iter(ov.values())).get("shared_glyphs", "?")
+        lines.append("\n## Overlap suite: regularization ordering"
+                     " (base ≤ ewc, base ≤ lwf)\n")
+        lines.append(f"\nSame protocol with a {shared}-glyph shared slice"
+                     " prepended to every task alphabet (top Zipf ranks — the"
+                     " digits/punctuation analogue of real MLT).\n")
+        lines.append("\n| Strategy | Final AIA % | Avg forgetting % |"
+                     " Final per-task row |")
+        lines.append("|---|---|---|---|")
+        for il in [i for i in ORDER if i in ov]:
+            r = ov[il]
+            forget = ("—" if r.get("avg_forgetting") is None
+                      else f"{r['avg_forgetting']:.2f}")
+            lines.append(f"| {il} | **{r['final_aia']:.2f}** | {forget} |"
+                         f" {r['final_row']} |")
+        ov_checks = []
+        for lo, hi in [("base", "ewc"), ("base", "lwf")]:
+            if lo in ov and hi in ov:
+                a, b = ov[lo]["final_aia"], ov[hi]["final_aia"]
+                ok = b >= a
+                ov_checks.append(f"- {lo} ({a:.2f}) <= {hi} ({b:.2f}): "
+                                 f"{'PASS' if ok else 'FAIL'}")
+        if ov_checks:
+            lines.append("\nOverlap-suite acceptance:\n")
+            lines += ov_checks
     for il in ils:
         for key in ("incomplete", "note"):
             if results[il].get(key):
