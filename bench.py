@@ -63,8 +63,10 @@ def measure(batch_size: int, warmup: int = 3, iters: int = 20) -> float:
     return batch_size * iters / dt
 
 
-def _secondary_arch(name, overrides, batch_size=256):
-    """Secondary (stderr) numbers: CRNN / TRBA inference throughput."""
+def _secondary_arch(name, overrides, batch_size=256, int8=False):
+    """Secondary (stderr) numbers: CRNN / TRBA inference throughput.
+    ``int8``: post-training w8a8 conv path (mrn_tpu.ops.int8) — the ~2x MXU
+    lever on the compute-bound TRBA ResNet."""
     import jax
     opt = default_options(**overrides)
     model = build_recognizer(opt, NUM_CLASSES)
@@ -76,6 +78,15 @@ def _secondary_arch(name, overrides, batch_size=256):
         kw["text"] = jnp.zeros((batch_size, 1), jnp.int32)
     variables = model.init({"params": rng, "droppath": rng}, image,
                            train=False, **kw)
+    if int8:
+        from mrn_tpu.ops.int8 import quantize_variables
+        name = f"{name}-int8"
+        calib = build_recognizer(opt, NUM_CLASSES, quant="calib")
+        calib_img = jax.random.normal(rng, image.shape, jnp.float32)
+        _, upd = calib.apply(variables, calib_img, train=False,
+                             is_train=False, mutable=["quant"], **kw)
+        variables = quantize_variables(dict(variables, quant=upd["quant"]))
+        model = build_recognizer(opt, NUM_CLASSES, quant="int8")
     variables = jax.tree_util.tree_map(
         lambda x: x.astype(jnp.bfloat16)
         if jnp.issubdtype(x.dtype, jnp.floating) else x, variables)
@@ -145,11 +156,43 @@ def _train_step_bench(batch_size=256):
           f"{dt * 10000 / 60:,.1f} min)", file=sys.stderr)
 
 
+def _gelu_serving_check(batch_size=512):
+    """Serving-mode lever: tanh-approx GELU (exact erf costs ~20% of SVTR
+    inference on the VPU).  Reports throughput + the max logit delta vs the
+    exact-erf path on one random batch (documented <1e-3)."""
+    import jax
+    from mrn_tpu.models import svtr as svtr_mod
+
+    infer, image = build(batch_size)
+    rng_img = jax.random.normal(jax.random.PRNGKey(3), image.shape,
+                                jnp.float32)
+    token = jnp.asarray(0.0, rng_img.dtype)
+    exact_pred, _ = infer(rng_img, token)
+    svtr_mod.set_gelu_approximate(True)
+    try:
+        infer_a, _ = build(batch_size)
+        approx_pred, _ = infer_a(rng_img, token)
+        agree = float(jnp.mean((exact_pred == approx_pred).astype(jnp.float32)))
+        for _ in range(3):
+            pred, token = infer_a(rng_img, token)
+        jax.block_until_ready(pred)
+        t0 = time.perf_counter()
+        for _ in range(10):
+            pred, token = infer_a(rng_img, token)
+        jax.block_until_ready(pred)
+        tput = batch_size * 10 / (time.perf_counter() - t0)
+        print(f"# SVTR serving (gelu tanh-approx) bs{batch_size}: "
+              f"{tput:,.0f} crops/s (argmax agreement vs exact erf: "
+              f"{agree:.4f})", file=sys.stderr)
+    finally:
+        svtr_mod.set_gelu_approximate(False)
+
+
 def main():
     t_start = time.perf_counter()
     best = 0.0
     best_bs = 0
-    for bs in (1024, 512, 256):
+    for bs in (2048, 1024, 512, 256):
         try:
             tput = measure(bs)
         except Exception as e:  # OOM etc.
@@ -162,6 +205,7 @@ def main():
     # already consumed the time budget
     if time.perf_counter() - t_start < 900:
         try:
+            _gelu_serving_check()
             _secondary_arch("CRNN", dict(Transformation="None",
                                          FeatureExtraction="VGG",
                                          SequenceModeling="BiLSTM",
@@ -174,6 +218,11 @@ def main():
                                          FeatureExtraction="ResNet",
                                          SequenceModeling="BiLSTM",
                                          Prediction="Attn"), batch_size=512)
+            _secondary_arch("TRBA", dict(Transformation="TPS",
+                                         FeatureExtraction="ResNet",
+                                         SequenceModeling="BiLSTM",
+                                         Prediction="Attn"), batch_size=512,
+                            int8=True)
             _train_step_bench()
         except Exception as e:
             print(f"# secondary benches failed: {e}", file=sys.stderr)

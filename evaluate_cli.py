@@ -109,6 +109,43 @@ def _val_choose(opt, last_task: int) -> str:
     return "TF" if (opt.il == "mrn" and last_task > 0) else "test"
 
 
+def quantize_learner_int8(learner, opt, calib_loader, n_batches: int = 4):
+    """Post-training w8a8 eval (--int8): calibrate per-conv input ranges on a
+    few batches, quantize conv kernels per-output-channel, and swap the
+    learner's model to the int8 conv path (mrn_tpu.ops.int8).  The int8 MXU
+    path is the ~2x lever on the compute-bound TRBA ResNet (21.5 GFLOP/img;
+    the reference has no quantized path — pure fp32 torch)."""
+    import jax.numpy as jnp
+    from mrn_tpu.models.composer import build_recognizer
+    from mrn_tpu.ops.int8 import quantize_variables
+
+    calib = build_recognizer(opt, learner._total_classes, quant="calib")
+    variables = {"params": learner.params, "batch_stats": learner.batch_stats}
+    quant = None
+    it = iter(calib_loader)
+    for _ in range(n_batches):
+        try:
+            images = next(it)[0]  # (images, labels[, n_valid/idx])
+        except StopIteration:
+            break
+        kw = {}
+        if opt.Prediction == "Attn":
+            kw["text"] = jnp.full((len(images), 1),
+                                  getattr(learner.converter, "sos_id", 0),
+                                  jnp.int32)
+        v = dict(variables)
+        if quant is not None:
+            v["quant"] = quant
+        _, upd = calib.apply(v, learner._device_images(images), train=False,
+                             is_train=False, mutable=["quant"], **kw)
+        quant = upd["quant"]
+    qv = quantize_variables({**variables, "quant": quant})
+    learner.model = build_recognizer(opt, learner._total_classes, quant="int8")
+    learner.params = qv["params"]
+    learner.eval_quant = qv["quant"]
+    return learner
+
+
 def benchmark_all_eval(learner, opt, last_task: int,
                        calculate_infer_time: bool = False,
                        log_multiple_test: bool = False,
@@ -270,6 +307,11 @@ def main():
                         help="decode+resize eval sets once into a "
                              "device-resident uint8 bank (indices-only "
                              "host->device traffic)")
+    parser.add_argument("--int8", action="store_true",
+                        help="post-training w8a8 conv path (VGG/ResNet "
+                             "extractors; calibrated on the first eval "
+                             "batches) — the int8 MXU is ~2x bf16 on the "
+                             "compute-bound TRBA ResNet")
     args = parser.parse_args()
 
     opt = load_config(args.config, extra_sections=["test"])
@@ -285,6 +327,17 @@ def main():
     last_task = args.taski if args.taski is not None else len(opt.lan_list) - 1
 
     learner = load_learner(opt, args.saved_model, last_task)
+
+    if args.int8:
+        if opt.il in ("mrn", "der") and last_task > 0:
+            parser.error("--int8 supports single-recognizer models (the "
+                         "composite MRN/DER eval paths stay bf16)")
+        calib_root = (args.eval_data[0] if args.eval_data
+                      else EVAL_TYPE_PRESETS[args.eval_type][1])
+        calib_dir = os.path.join(calib_root, opt.lan_list[0])
+        calib_loader = ValDataset([calib_dir], opt).create_dataset()
+        quantize_learner_int8(learner, opt, calib_loader)
+        print("# int8: conv path quantized (w8a8, per-channel weights)")
 
     from mrn_tpu.models.surgery import count_params
     n_params = count_params(learner.params)

@@ -22,9 +22,36 @@ __all__ = ["TorchConv", "TorchDense", "batch_norm", "max_pool", "avg_pool",
            "global_avg_pool"]
 
 
+class _ConvParams(nn.Module):
+    """Parameter holder matching nn.Conv's variable layout (kernel HWIO,
+    bias [out]) for TorchConv's int8 path."""
+
+    features: int
+    kernel_size: Tuple[int, int]
+    in_per_group: int
+    use_bias: bool
+    fan_in: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", torch_linear_default,
+                            (*self.kernel_size, self.in_per_group,
+                             self.features))
+        bias = (self.param("bias", torch_bias_default(self.fan_in),
+                           (self.features,)) if self.use_bias else None)
+        return kernel, bias
+
+
 class TorchConv(nn.Module):
     """Conv2d with torch default init (kaiming_uniform(a=sqrt(5)) kernel,
-    U(+-1/sqrt(fan_in)) bias). NHWC; kernel [kh, kw, in, out]."""
+    U(+-1/sqrt(fan_in)) bias). NHWC; kernel [kh, kw, in, out].
+
+    ``quant`` enables the post-training w8a8 path (mrn_tpu.ops.int8):
+    "calib" records the per-conv input absmax into the ``quant`` collection
+    (apply with mutable=["quant"]) while computing the normal float conv;
+    "int8" expects an int8 kernel in ``params`` plus act_amax/w_scale in
+    ``quant`` (produced by ops.int8.quantize_variables) and runs the conv
+    int8 x int8 -> int32 on the MXU, dequantizing into the float epilogue."""
 
     features: int
     kernel_size: Tuple[int, int]
@@ -32,16 +59,48 @@ class TorchConv(nn.Module):
     padding: Tuple[int, int] = (0, 0)
     use_bias: bool = True
     feature_group_count: int = 1
+    quant: str = "none"  # "none" | "calib" | "int8"
 
     @nn.compact
     def __call__(self, x):
         in_ch = x.shape[-1]
         fan_in = (in_ch // self.feature_group_count) * self.kernel_size[0] * self.kernel_size[1]
+        pad = [(self.padding[0], self.padding[0]),
+               (self.padding[1], self.padding[1])]
+
+        if self.quant == "int8":
+            from mrn_tpu.ops.int8 import conv_int8, quantize_act
+            # params live under the same "Conv_0" child scope the float
+            # nn.Conv path uses, so quantized and float variables share one
+            # checkpoint layout
+            kernel, bias = _ConvParams(
+                self.features, self.kernel_size,
+                in_ch // self.feature_group_count, self.use_bias, fan_in,
+                name="Conv_0")()
+            amax = self.variable("quant", "act_amax",
+                                 lambda: jnp.zeros((), jnp.float32)).value
+            w_scale = self.variable(
+                "quant", "w_scale",
+                lambda: jnp.ones((self.features,), jnp.float32)).value
+            x_q, a_scale = quantize_act(x, amax)
+            y = conv_int8(x_q, kernel, self.strides, pad,
+                          self.feature_group_count)
+            y = y.astype(jnp.float32) * (a_scale * w_scale)
+            if bias is not None:
+                y = y + bias
+            return y.astype(x.dtype)
+
+        if self.quant == "calib":
+            amax_var = self.variable("quant", "act_amax",
+                                     lambda: jnp.zeros((), jnp.float32))
+            amax_var.value = jnp.maximum(
+                amax_var.value, jnp.max(jnp.abs(x)).astype(jnp.float32))
+
         return nn.Conv(
             features=self.features,
             kernel_size=self.kernel_size,
             strides=self.strides,
-            padding=[(self.padding[0], self.padding[0]), (self.padding[1], self.padding[1])],
+            padding=pad,
             use_bias=self.use_bias,
             feature_group_count=self.feature_group_count,
             kernel_init=torch_linear_default,

@@ -51,6 +51,7 @@ class Extractor(nn.Module):
     hidden_size: int = 256
     num_fiducial: int = 20
     img_size: tuple = (32, 256)
+    quant: str = "none"  # w8a8 PTQ of the conv feature extractor (ops.int8)
 
     @nn.compact
     def __call__(self, image, train: bool = True):
@@ -60,9 +61,11 @@ class Extractor(nn.Module):
                                name="transformation")(x, train)
 
         if self.feature_extraction == "VGG":
-            feat = VGGExtractor(self.output_channel, name="feature")(x, train)
+            feat = VGGExtractor(self.output_channel, quant=self.quant,
+                                name="feature")(x, train)
         elif self.feature_extraction == "ResNet":
-            feat = ResNetExtractor(self.output_channel, name="feature")(x, train)
+            feat = ResNetExtractor(self.output_channel, quant=self.quant,
+                                   name="feature")(x, train)
         elif self.feature_extraction == "SVTR":
             feat = SVTRExtractor(self.output_channel, self.img_size,
                                  name="feature")(x, train)
@@ -96,12 +99,13 @@ class Recognizer(nn.Module):
     num_fiducial: int = 20
     img_size: tuple = (32, 256)
     batch_max_length: int = 25
+    quant: str = "none"
 
     def setup(self):
         self.extractor = Extractor(
             self.transformation, self.feature_extraction, self.sequence_modeling,
             self.output_channel, self.hidden_size, self.num_fiducial,
-            self.img_size, name="extractor")
+            self.img_size, self.quant, name="extractor")
         self.fc = TorchDense(self.num_classes, name="fc")
         if self.prediction == "Attn":
             self.decoder = AttentionDecoder(
@@ -129,9 +133,11 @@ class Recognizer(nn.Module):
         return self.extractor(image, train)
 
 
-def build_recognizer(opt, num_classes: int) -> Recognizer:
+def build_recognizer(opt, num_classes: int, quant: str = None) -> Recognizer:
     """Construct a Recognizer from a flat options namespace (config surface of
-    config/*_mrn.py)."""
+    config/*_mrn.py).  ``quant`` ("calib"/"int8") enables the post-training
+    w8a8 conv path for VGG/ResNet feature extractors (mrn_tpu.ops.int8;
+    SVTR's Pallas-attention path stays bf16)."""
     return Recognizer(
         num_classes=num_classes,
         prediction=opt.Prediction,
@@ -143,4 +149,5 @@ def build_recognizer(opt, num_classes: int) -> Recognizer:
         num_fiducial=opt.num_fiducial,
         img_size=(opt.imgH, opt.imgW),
         batch_max_length=opt.batch_max_length,
+        quant=quant if quant is not None else opt.get("quant", "none"),
     )

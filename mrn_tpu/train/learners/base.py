@@ -456,9 +456,15 @@ class BaseLearner:
         pad_id = self._pad_id()
         sos_id = getattr(self.converter, "sos_id", 0)
 
+        # post-training w8a8 eval (evaluate_cli --int8): the quant collection
+        # (calibrated act_amax + kernel scales, mrn_tpu.ops.int8) rides along
+        eval_quant = getattr(self, "eval_quant", None)
+
         @jax.jit
         def eval_fn(params, batch_stats, images, labels_index, lengths):
             variables = {"params": params, "batch_stats": batch_stats}
+            if eval_quant is not None:
+                variables["quant"] = eval_quant
             if is_attn:
                 text = jnp.full((images.shape[0], 1), sos_id, jnp.int32)
                 logits = self._eval_logits(variables, images, text, val_choose)
