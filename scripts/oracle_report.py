@@ -29,7 +29,6 @@ def parse_data_any(path):
     if not os.path.exists(path):
         return None
     text = open(path, encoding="utf-8").read()
-    stages = [float(m) for m in ACC_ROW.findall(text)]
     rows = [[float(x) for x in m.split(",") if x.strip()]
             for m in ACC_LIST.findall(text)]
     m = ALL_ACC.search(text)
@@ -86,7 +85,10 @@ def main():
         "grad-clip 5, seed 111, identical task order and per-task dict.txt",
         "growth.  Torch and JAX differ in init distributions and data-order",
         "RNGs, so the comparison is trajectory-level (per-stage accuracy and",
-        "loss at matched validation points), not bitwise.",
+        "loss at matched validation points), not bitwise.  The torch side",
+        "always runs on the host CPU (torch is CPU-only in this image); the",
+        "rebuild side runs on whichever backend was active for its run —",
+        "matched optimization settings, not matched hardware.",
         "",
     ]
     for torch_name, jax_name in pairs:
