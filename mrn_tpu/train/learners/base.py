@@ -232,6 +232,9 @@ class BaseLearner:
                 else:
                     train_loader.get_dataset(taski, memory=self.opt.memory)
             self._load_best(taski)
+            # learner-specific state that the skipped _train would have
+            # produced (e.g. EWC's Fisher — lost by the reference on resume)
+            self._after_resume(taski, train_loader)
         else:
             self.log.write(f"Task {taski} start training ------{self.opt.exp_name}------\n")
             self._train(0, taski, train_loader, valid)
@@ -538,6 +541,11 @@ class BaseLearner:
         self.params = payload["params"]
         self.batch_stats = payload["batch_stats"]
         self.log.write(f"Task {taski} load checkpoint from {path}.\n")
+
+    def _after_resume(self, taski, train_loader):
+        """Hook after a start_task checkpoint replay: rebuild learner state
+        the skipped _train would have produced.  Base has none; EWC
+        recomputes its Fisher here (the reference loses it on resume)."""
 
     # -------------------------------------------------------------- task end
 

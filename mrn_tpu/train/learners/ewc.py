@@ -65,6 +65,20 @@ class EWC(BaseLearner):
 
     def _train(self, start_iter, taski, train_loader, valid_loader):
         super()._train(start_iter, taski, train_loader, valid_loader)
+        self._update_fisher(train_loader)
+
+    def _after_resume(self, taski, train_loader):
+        """start_task resume: recompute this task's Fisher from the loaded
+        checkpoint's params so later tasks still train with the penalty.
+        The reference LOSES the Fisher on resume (it is computed only at the
+        _train tail, il_modules/ewc.py:47-57, which start_task skips,
+        base.py:178-195) — resumed reference EWC silently degrades to the
+        base learner; the rebuild repairs the state instead."""
+        if taski == 0 and not getattr(train_loader, "loaders", None):
+            train_loader.get_dataset(taski, memory=None)
+        self._update_fisher(train_loader)
+
+    def _update_fisher(self, train_loader):
         new_fisher = self.get_fisher_diagonal(train_loader)
         if self.fisher is None:
             self.fisher = new_fisher

@@ -119,6 +119,34 @@ def test_mrn_router_bitwise_resume(tmp_path):
     _assert_trees_equal(sa, sb)
 
 
+def test_ewc_fisher_recomputed_on_resume(tmp_path):
+    """start_task resume rebuilds EWC's Fisher from the loaded checkpoint —
+    the reference computes Fisher only at the _train tail (il_modules/
+    ewc.py:47-57), so its resume silently trains later tasks without the
+    penalty.  The rebuild's _after_resume hook repairs the state."""
+    from mrn_tpu.train.learners.ewc import EWC
+
+    opts = dict(il="ewc", num_iter=4, val_interval=4, fisher_num_iter=2,
+                lan_list=["T0", "T1"])
+
+    def drive(out, start_task=0):
+        opt = tiny_opt(output_dir=str(tmp_path / out),
+                       data_log=str(tmp_path / f"{out}.txt"),
+                       start_task=start_task, **opts)
+        source = make_source(opt)
+        learner = EWC(opt)
+        run_tasks(learner, opt, source, 2, tmp_path)
+        return learner
+
+    trained = drive("a")
+    assert trained.fisher is not None
+    resumed = drive("a", start_task=2)  # both tasks replayed from ckpts
+    assert resumed.fisher is not None and resumed.mean is not None
+    # blended over 2 tasks from checkpointed params — same tree structure
+    assert (jax.tree_util.tree_structure(resumed.fisher)
+            == jax.tree_util.tree_structure(trained.fisher))
+
+
 @pytest.mark.slow
 def test_mrn_best_ckpt_expert_dedup(tmp_path):
     """VERDICT r2 #9: best-score saves don't re-serialize frozen experts —
