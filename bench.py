@@ -9,8 +9,31 @@ the best steady-state throughput.
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
+
+# The axon TPU tunnel can die mid-session, after which the FIRST jax device
+# call blocks forever (no timeout in the client).  Probe device init in a
+# bounded subprocess so the bench fails fast with a diagnosis instead of
+# hanging the driver.
+if os.environ.get("MRN_TPU_BENCH_PROBED") != "1":
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            env=dict(os.environ, MRN_TPU_BENCH_PROBED="1"),
+            timeout=300, capture_output=True, text=True)
+        failed = probe.returncode != 0
+        detail = (probe.stderr or "")[-500:]
+    except subprocess.TimeoutExpired:
+        failed, detail = True, "device init exceeded 300s (hung tunnel)"
+    if failed:
+        print(f"# TPU unreachable: {detail}", file=sys.stderr)
+        print("# The axon tunnel relay (/root/.tpu_init.py) is likely dead "
+              "— bench requires the live chip.", file=sys.stderr)
+        sys.exit(3)
 
 import jax
 import jax.numpy as jnp
