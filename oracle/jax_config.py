@@ -17,6 +17,8 @@ common = dict(
     il=_IL,
     memory="random" if _IL in ("mrn", "der", "wa") else None,
     memory_num=int(os.environ.get("ORACLE_MEMORY", "600")),
+    # matches run_reference.py's scaled reference Fisher budget (num_iter//4)
+    fisher_num_iter=max(1, _ITER // 4),
     batch_max_length=25,
     imgH=32,
     imgW=256,

@@ -97,6 +97,15 @@ def main():
 
     import tiny_train  # /root/reference/tiny_train.py, unmodified
 
+    # The reference EWC's Fisher loop uses a module-level num_iter=5000
+    # constant (il_modules/ewc.py:25,134) regardless of opt.num_iter; at the
+    # oracle's reduced budget that would be 16x the training itself.  Scale
+    # it with the same num_iter//4 convention the rebuild campaign uses
+    # (scripts/accuracy_campaign.py fisher_num_iter) so both sides match.
+    if args.il == "ewc":
+        import il_modules.ewc as _ewc
+        _ewc.num_iter = max(1, args.num_iter // 4)
+
     os.makedirs(f"./saved_models/{opt.exp_name}", exist_ok=True)
     log = open(f"./saved_models/{opt.exp_name}/log_train.txt", "a")
     t0 = time.time()

@@ -152,6 +152,7 @@ def main():
     # cross-script Latin digits (reference README.md:94-103) — the structure
     # EWC/LwF need for measurable retention
     ov_dir = os.path.join(args.runs, "overlap")
+    ov_note = os.path.join(ov_dir, "NOTE.md")
     ov = {}
     for path in glob.glob(os.path.join(ov_dir, "*.json")):
         with open(path, encoding="utf-8") as f:
@@ -184,6 +185,9 @@ def main():
         if ov_checks:
             lines.append("\nOverlap-suite acceptance:\n")
             lines += ov_checks
+        if os.path.exists(ov_note):
+            with open(ov_note, encoding="utf-8") as f:
+                lines.append("\n" + f.read().strip() + "\n")
     for il in ils:
         for key in ("incomplete", "note"):
             if results[il].get(key):
