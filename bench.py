@@ -246,6 +246,18 @@ def main():
                                          SequenceModeling="BiLSTM",
                                          Prediction="Attn"), batch_size=512,
                             int8=True)
+            # w8a8 SVTR: block projections (~79% of FLOPs) on the int8 MXU
+            # via the fused Pallas kernel (ops/svtr_block._make_kernel_int8)
+            _secondary_arch("SVTR", dict(Transformation="None",
+                                         FeatureExtraction="SVTR",
+                                         SequenceModeling="None",
+                                         Prediction="CTC"), batch_size=512,
+                            int8=True)
+            _secondary_arch("SVTR", dict(Transformation="None",
+                                         FeatureExtraction="SVTR",
+                                         SequenceModeling="None",
+                                         Prediction="CTC"), batch_size=1024,
+                            int8=True)
             _train_step_bench()
         except Exception as e:
             print(f"# secondary benches failed: {e}", file=sys.stderr)

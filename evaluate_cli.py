@@ -69,6 +69,16 @@ def apply_model_name_presets(opt):
     return opt
 
 
+def _config_sets_model_name(path: str) -> bool:
+    """True when the config file itself names a model preset in any of its
+    section dicts (as the reference's cfg.test does, test.py:467-492)."""
+    import runpy
+
+    ns = runpy.run_path(path)
+    return any(isinstance(ns.get(s), dict) and "model_name" in ns[s]
+               for s in ("common", "model", "optimizer", "train", "test"))
+
+
 def load_learner(opt, saved_model: str, last_task: int):
     """Rebuild the learner at the checkpointed class count and load weights
     (reference test.py:282-331 model build + load_state_dict)."""
@@ -308,16 +318,21 @@ def main():
                              "device-resident uint8 bank (indices-only "
                              "host->device traffic)")
     parser.add_argument("--int8", action="store_true",
-                        help="post-training w8a8 conv path (VGG/ResNet "
-                             "extractors; calibrated on the first eval "
-                             "batches) — the int8 MXU is ~2x bf16 on the "
-                             "compute-bound TRBA ResNet")
+                        help="post-training w8a8 path (VGG/ResNet convs and "
+                             "SVTR block projections; calibrated on the "
+                             "first eval batches) — the int8 MXU is ~2x "
+                             "bf16 on the compute-bound matmuls")
     args = parser.parse_args()
 
     opt = load_config(args.config, extra_sections=["test"])
     if args.model_name:
         opt.model_name = args.model_name
-    apply_model_name_presets(opt)
+        apply_model_name_presets(opt)
+    elif _config_sets_model_name(args.config):
+        # The reference maps model_name -> stage presets only when cfg.test
+        # names one (test.py:476-492); the built-in default ("CRNN") must
+        # not stomp a config's explicitly configured stages (e.g. SVTR).
+        apply_model_name_presets(opt)
     if args.batch_size:
         opt.batch_size = args.batch_size
     if args.device_bank or opt.get("device_bank", False):

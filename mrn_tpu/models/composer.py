@@ -68,7 +68,7 @@ class Extractor(nn.Module):
                                    name="feature")(x, train)
         elif self.feature_extraction == "SVTR":
             feat = SVTRExtractor(self.output_channel, self.img_size,
-                                 name="feature")(x, train)
+                                 quant=self.quant, name="feature")(x, train)
         else:
             raise ValueError(self.feature_extraction)
 

@@ -64,6 +64,13 @@ def _impl_resolved() -> str:
     impl = _ATTENTION_IMPL
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas":
+        # pallas_call has no SPMD partitioning rule: under a device mesh the
+        # composed XLA path partitions cleanly, the kernel would force
+        # replication (same gate as ops/grid_sample.py's dispatch).
+        from mrn_tpu.parallel.mesh import get_mesh
+        if get_mesh() is not None:
+            impl = "xla"
     return impl
 
 
@@ -149,6 +156,7 @@ class Block(nn.Module):
     mlp_ratio: float = 4.0
     drop_path: float = 0.0
     local_k: Tuple[int, int] = (7, 11)
+    quant: str = "none"  # w8a8 PTQ of the 4 projections (mrn_tpu.ops.int8)
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -177,29 +185,59 @@ class Block(nn.Module):
         if self.mixer == "Local":
             mask = local_attention_mask(self.hw[0], self.hw[1], *self.local_k)
 
-        use_fused = (not train) and _impl_resolved() == "pallas"
+        # ---- w8a8 PTQ plumbing (mrn_tpu.ops.int8): "calib" records the
+        # per-projection input absmax; "int8" consumes int8 kernels + scales.
+        qv = None
+        if self.quant == "int8":
+            qv = {}
+            for qname, out_dim in (("qkv", 3 * c), ("proj", c),
+                                   ("fc1", hidden), ("fc2", c)):
+                qv[f"act_amax_{qname}"] = self.variable(
+                    "quant", f"act_amax_{qname}",
+                    lambda: jnp.zeros((), jnp.float32)).value
+                qv[f"w_scale_{qname}"] = self.variable(
+                    "quant", f"w_scale_{qname}",
+                    lambda d=out_dim: jnp.ones((d,), jnp.float32)).value
+
+        def project(qname, h, kernel, bias):
+            if self.quant == "calib":
+                var = self.variable("quant", f"act_amax_{qname}",
+                                    lambda: jnp.zeros((), jnp.float32))
+                var.value = jnp.maximum(
+                    var.value, jnp.max(jnp.abs(h)).astype(jnp.float32))
+            if qv is not None:
+                from mrn_tpu.ops.int8 import dense_w8a8
+                return dense_w8a8(h, kernel, qv[f"w_scale_{qname}"],
+                                  qv[f"act_amax_{qname}"], bias)
+            return h @ kernel + bias
+
+        use_fused = ((not train) and _impl_resolved() == "pallas"
+                     and self.quant != "calib")
         if use_fused:
             from mrn_tpu.ops.svtr_block import fused_block
-            return fused_block(x, params, mask, self.num_heads, scale)
+            return fused_block(x, params, mask, self.num_heads, scale,
+                               quant=qv)
 
-        # ---- composed XLA path (training / non-TPU backends)
+        # ---- composed XLA path (training / non-TPU backends / calibration)
         b, n, _ = x.shape
         dp = DropPath(self.drop_path, name="drop_path")
 
         h = _manual_layer_norm(x, params["norm1_scale"], params["norm1_bias"])
-        qkv = h @ params["qkv_kernel"] + params["qkv_bias"]
+        qkv = project("qkv", h, params["qkv_kernel"], params["qkv_bias"])
         qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
         qkv = jnp.transpose(qkv, (2, 0, 3, 1, 4))
         q, k, v = qkv[0] * scale, qkv[1], qkv[2]
         attn = _attention_core(q, k, v, mask)  # [B, h, N, d]
         attn = jnp.transpose(attn, (0, 2, 1, 3)).reshape(b, n, c)
-        attn = attn @ params["proj_kernel"] + params["proj_bias"]
+        attn = project("proj", attn, params["proj_kernel"],
+                       params["proj_bias"])
         x = x + dp(attn, train)
 
         h = _manual_layer_norm(x, params["norm2_scale"], params["norm2_bias"])
-        h = nn.gelu(h @ params["fc1_kernel"] + params["fc1_bias"],
+        h = nn.gelu(project("fc1", h, params["fc1_kernel"],
+                            params["fc1_bias"]),
                     approximate=_GELU_APPROX)
-        h = h @ params["fc2_kernel"] + params["fc2_bias"]
+        h = project("fc2", h, params["fc2_kernel"], params["fc2_bias"])
         return x + dp(h, train)
 
 
@@ -248,6 +286,7 @@ class SVTRExtractor(nn.Module):
     depth: Tuple[int, int, int] = (3, 6, 3)
     num_heads: Tuple[int, int, int] = (2, 4, 8)
     drop_path_rate: float = 0.1
+    quant: str = "none"  # w8a8 PTQ of the block projections (ops.int8)
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -263,19 +302,20 @@ class SVTRExtractor(nn.Module):
         d0, d1, d2 = self.depth
         for i in range(d0):
             x = Block(self.embed_dim[0], self.num_heads[0], mixers[i], (h0, w0),
-                      drop_path=float(dpr[i]), name=f"blocks1_{i}")(x, train)
+                      drop_path=float(dpr[i]), quant=self.quant,
+                      name=f"blocks1_{i}")(x, train)
         x = SubSampleConv(self.embed_dim[1], (h0, w0), name="sub_sample1")(x)
 
         for i in range(d1):
             x = Block(self.embed_dim[1], self.num_heads[1], mixers[d0 + i],
                       (h0 // 2, w0), drop_path=float(dpr[d0 + i]),
-                      name=f"blocks2_{i}")(x, train)
+                      quant=self.quant, name=f"blocks2_{i}")(x, train)
         x = SubSampleConv(self.embed_dim[2], (h0 // 2, w0), name="sub_sample2")(x)
 
         for i in range(d2):
             x = Block(self.embed_dim[2], self.num_heads[2], mixers[d0 + d1 + i],
                       (h0 // 4, w0), drop_path=float(dpr[d0 + d1 + i]),
-                      name=f"blocks3_{i}")(x, train)
+                      quant=self.quant, name=f"blocks3_{i}")(x, train)
         x = SubSampleConv(self.out_channels, (h0 // 4, w0), name="sub_sample3")(x)
 
         b, n, c = x.shape  # n == w0 after the /8 height reduction

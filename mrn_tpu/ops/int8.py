@@ -1,27 +1,32 @@
-"""Post-training w8a8 quantization for the conv feature extractors.
+"""Post-training w8a8 quantization for the conv feature extractors and the
+SVTR transformer-block projections.
 
 The TRBA pipeline is compute-bound in its FAN ResNet (21.5 GFLOP/image,
 ~74% MXU utilization in bf16 — see README perf table), so int8 is the
 remaining ~2x lever: the v5e MXU delivers twice the int8 OPS of bf16.
-The reference has no quantized path (pure fp32 torch, modules/
-feature_extraction.py:100-352); this is a TPU-native addition.
+SVTR's block projections (qkv / proj / fc1 / fc2) carry ~79% of its FLOPs,
+so the same scheme applies there (the attention matmuls stay bf16 —
+head_dim 32 keeps them contraction-pad-bound either way).  The reference
+has no quantized path (pure fp32 torch, modules/feature_extraction.py:
+100-352, modules/svtr.py:315-532); this is a TPU-native addition.
 
 Scheme (standard w8a8 PTQ):
-- conv kernels: symmetric per-output-channel int8, scale = amax/127 over
-  (kh, kw, cin);
+- kernels: symmetric per-output-channel int8, scale = amax/127 over the
+  input axes ((kh, kw, cin) for convs, cin for dense);
 - activations: symmetric per-tensor int8 with calibrated absmax (post-ReLU
   inputs are non-negative, so the effective precision is 7 bits — the usual
   trade for symmetric quant);
-- conv runs int8 x int8 -> int32 on the MXU (lax.conv_general_dilated with
-  preferred_element_type=int32), dequantized by (act_scale * w_scale[c])
-  into the float epilogue (bias/BN/ReLU), which XLA fuses.
+- the matmul runs int8 x int8 -> int32 on the MXU (preferred_element_type=
+  int32), dequantized by (act_scale * w_scale[c]) into the float epilogue
+  (bias/BN/ReLU), which XLA fuses.
 
-Wiring: ``TorchConv(quant="calib")`` records per-conv input absmax into the
-``quant`` variable collection (run a few batches with mutable=["quant"]);
-``quantize_variables`` then rewrites the calibrated convs' kernels to int8
-and stores their scales alongside; ``TorchConv(quant="int8")`` consumes
-both.  Only convs that saw calibration are quantized — modules outside the
-quantized subtree (TPS localization, BiLSTM, heads) keep their float path.
+Wiring: ``TorchConv(quant="calib")`` / ``svtr.Block(quant="calib")`` record
+per-matmul input absmax into the ``quant`` variable collection (run a few
+batches with mutable=["quant"]); ``quantize_variables`` then rewrites the
+calibrated kernels to int8 and stores their scales alongside; the same
+modules with ``quant="int8"`` consume both.  Only scopes that saw
+calibration are quantized — modules outside the quantized subtree (TPS
+localization, BiLSTM, heads) keep their float path.
 """
 
 from __future__ import annotations
@@ -29,14 +34,18 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["quantize_kernel", "quantize_act", "conv_int8",
+__all__ = ["quantize_kernel", "quantize_act", "conv_int8", "dense_int8",
            "quantize_variables"]
+
+# SVTR Block projections (models/svtr.py): params key -> quant scale key.
+SVTR_PROJ_KERNELS = (("qkv_kernel", "qkv"), ("proj_kernel", "proj"),
+                     ("fc1_kernel", "fc1"), ("fc2_kernel", "fc2"))
 
 
 def quantize_kernel(w: jnp.ndarray):
-    """Per-output-channel symmetric int8 for an HWIO conv kernel.
-    Returns (int8 kernel, float32 scale[cout])."""
-    amax = jnp.max(jnp.abs(w), axis=(0, 1, 2))
+    """Per-output-channel symmetric int8 for an HWIO conv kernel or an
+    [in, out] dense kernel.  Returns (int8 kernel, float32 scale[out])."""
+    amax = jnp.max(jnp.abs(w), axis=tuple(range(w.ndim - 1)))
     scale = jnp.maximum(amax, 1e-12) / 127.0
     q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
     return q, scale.astype(jnp.float32)
@@ -59,10 +68,42 @@ def conv_int8(x_q: jnp.ndarray, w_q: jnp.ndarray, strides, padding,
         preferred_element_type=jnp.int32)
 
 
+def dense_int8(x_q: jnp.ndarray, w_q: jnp.ndarray) -> jnp.ndarray:
+    """int8 [..., in] x int8 [in, out] -> int32 (MXU-native on TPU)."""
+    return jax.lax.dot_general(
+        x_q, w_q, (((x_q.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+
+
+def dense_w8a8(x, kernel_q, w_scale, amax, bias=None):
+    """Full w8a8 dense: per-tensor act quant (calibrated ``amax``), int8
+    matmul, float epilogue.  Returns x.dtype."""
+    x_q, a_scale = quantize_act(x, amax)
+    y = dense_int8(x_q, kernel_q).astype(jnp.float32)
+    y = y * (a_scale * w_scale.astype(jnp.float32))
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def _quantize_block(params: dict, quant: dict):
+    """Rewrite a calibrated SVTR Block scope: the four projection kernels
+    go int8, per-projection w_scale_<name> lands next to act_amax_<name>."""
+    new_p = dict(params)
+    new_q = dict(quant)
+    for pkey, qname in SVTR_PROJ_KERNELS:
+        kq, scale = quantize_kernel(params[pkey])
+        new_p[pkey] = kq
+        new_q[f"w_scale_{qname}"] = scale
+    return new_p, new_q
+
+
 def _walk(params, quant, out_params, out_quant):
     """Recursively rewrite calibrated conv kernels to int8 + scales.
     A calibrated TorchConv scope looks like params {'Conv_0': {'kernel':
-    [kh,kw,in,out], ...}} next to quant {'act_amax': scalar}."""
+    [kh,kw,in,out], ...}} next to quant {'act_amax': scalar}; a calibrated
+    SVTR Block scope has the projection kernels directly in ``params`` next
+    to quant {'act_amax_qkv': ...} (models/svtr.py Block)."""
     for k, v in params.items():
         q = quant.get(k) if isinstance(quant, dict) else None
         inner = v.get("Conv_0") if isinstance(v, dict) else None
@@ -72,6 +113,9 @@ def _walk(params, quant, out_params, out_quant):
             kq, scale = quantize_kernel(inner["kernel"])
             out_params[k] = dict(v, Conv_0=dict(inner, kernel=kq))
             out_quant[k] = dict(q, w_scale=scale)
+        elif (isinstance(q, dict) and "act_amax_qkv" in q
+                and isinstance(v, dict) and "qkv_kernel" in v):
+            out_params[k], out_quant[k] = _quantize_block(v, q)
         elif isinstance(v, dict):
             out_params[k] = {}
             out_quant[k] = dict(q) if isinstance(q, dict) else {}
@@ -88,9 +132,12 @@ def quantize_variables(variables: dict) -> dict:
     passed through untouched."""
     params = variables["params"]
     quant = variables.get("quant", {})
-    new_params: dict = {}
-    new_quant: dict = {}
-    _walk(params, quant, new_params, new_quant)
+    if "act_amax_qkv" in quant and "qkv_kernel" in params:
+        # a bare SVTR Block as the root module (tests / kernel tools)
+        new_params, new_quant = _quantize_block(params, quant)
+    else:
+        new_params, new_quant = {}, {}
+        _walk(params, quant, new_params, new_quant)
     out = dict(variables)
     out["params"] = new_params
     out["quant"] = new_quant

@@ -97,6 +97,77 @@ def _make_kernel(group: int, num_heads: int, head_dim: int, scale: float):
     return kernel
 
 
+def _make_kernel_int8(group: int, num_heads: int, head_dim: int,
+                      scale: float):
+    """w8a8 variant: the four projections run int8 x int8 -> int32 on the
+    MXU (2x the bf16 OPS on v5e) with per-tensor activation quantization
+    (calibrated scales in SMEM) and a float dequant epilogue; LayerNorm,
+    softmax and the attention matmuls stay float (head_dim 32 keeps QK^T/PV
+    contraction-pad-bound regardless of dtype)."""
+    c = num_heads * head_dim
+
+    def kernel(x_ref, n1s_ref, n1b_ref, qkvk_ref, qkvb_ref, dqq_ref,
+               pk_ref, pb_ref, dqp_ref, n2s_ref, n2b_ref,
+               f1k_ref, f1b_ref, dqf1_ref, f2k_ref, f2b_ref, dqf2_ref,
+               mask_ref, inv_ref, o_ref, attn_scratch):
+        mask = mask_ref[...]
+
+        def ln(x, s_ref, b_ref):
+            mean = jnp.mean(x, axis=-1, keepdims=True)
+            var = jnp.mean(x * x, axis=-1, keepdims=True) - mean * mean
+            y = (x - mean) * jax.lax.rsqrt(var + 1e-6)
+            return y * s_ref[...] + b_ref[...]
+
+        def q8(h, idx):
+            # symmetric per-tensor int8 with the calibrated scale
+            q = jnp.round(h * inv_ref[0, idx])
+            return jnp.clip(q, -127.0, 127.0).astype(jnp.int8)
+
+        def body(g, carry):
+            x = x_ref[pl.ds(g, 1), :, :][0].astype(jnp.float32)  # [N, C]
+            h = ln(x, n1s_ref, n1b_ref)
+            qkv = jnp.dot(q8(h, 0), qkvk_ref[...],
+                          preferred_element_type=jnp.int32)
+            qkv = qkv.astype(jnp.float32) * dqq_ref[...] + qkvb_ref[...]
+            for hd in range(num_heads):
+                lo = hd * head_dim
+                q = qkv[:, lo:lo + head_dim] * scale
+                k = qkv[:, c + lo:c + lo + head_dim]
+                v = qkv[:, 2 * c + lo:2 * c + lo + head_dim]
+                s = jax.lax.dot_general(
+                    q.astype(x_ref.dtype), k.astype(x_ref.dtype),
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                s = s + mask
+                m = jnp.max(s, axis=-1, keepdims=True)
+                p = jnp.exp(s - m)
+                p = p / jnp.sum(p, axis=-1, keepdims=True)
+                o = jnp.dot(p.astype(x_ref.dtype), v.astype(x_ref.dtype),
+                            preferred_element_type=jnp.float32)
+                attn_scratch[:, lo:lo + head_dim] = o.astype(
+                    attn_scratch.dtype)
+            attn = jnp.dot(q8(attn_scratch[...], 1), pk_ref[...],
+                           preferred_element_type=jnp.int32)
+            attn = attn.astype(jnp.float32) * dqp_ref[...] + pb_ref[...]
+            x = x + attn
+            h = ln(x, n2s_ref, n2b_ref)
+            h = jnp.dot(q8(h, 2), f1k_ref[...],
+                        preferred_element_type=jnp.int32)
+            h = h.astype(jnp.float32) * dqf1_ref[...] + f1b_ref[...]
+            from mrn_tpu.models.svtr import gelu_approximate
+            h = _gelu_kernel(h, gelu_approximate())
+            h = jnp.dot(q8(h, 3), f2k_ref[...],
+                        preferred_element_type=jnp.int32)
+            h = h.astype(jnp.float32) * dqf2_ref[...] + f2b_ref[...]
+            out = x + h
+            o_ref[pl.ds(g, 1), :, :] = out[None].astype(o_ref.dtype)
+            return carry
+
+        jax.lax.fori_loop(0, group, body, 0)
+
+    return kernel
+
+
 def _pick_group(b, n, c, hidden, itemsize):
     budget = 10 * 1024 * 1024
     per_g = n * c * itemsize * 2 * 2          # x + out, double-buffered
@@ -111,9 +182,12 @@ def _pick_group(b, n, c, hidden, itemsize):
 
 
 def fused_block(x, params, mask: Optional[np.ndarray], num_heads: int,
-                scale: float, interpret: bool = False):
+                scale: float, interpret: bool = False, quant=None):
     """x: [B, N, C]; params: the Block param dict; mask: [N, N] additive
-    numpy array or None."""
+    numpy array or None.  ``quant`` (optional): the Block's quant-collection
+    dict {act_amax_<p>, w_scale_<p> for p in qkv/proj/fc1/fc2} — switches
+    the four projections to the w8a8 int8-MXU path (params then hold int8
+    kernels, produced by ops.int8.quantize_variables)."""
     b, n, c = x.shape
     hidden = params["fc1_kernel"].shape[1]
     head_dim = c // num_heads
@@ -128,10 +202,47 @@ def fused_block(x, params, mask: Optional[np.ndarray], num_heads: int,
     x_spec = pl.BlockSpec((group, n, c), lambda i: (i, 0, 0),
                           memory_space=pltpu.VMEM)
 
-    def wspec(shape):
+    def wspec(shape, space=pltpu.VMEM):
         nd = len(shape)
-        return pl.BlockSpec(shape, lambda i: (0,) * nd,
-                            memory_space=pltpu.VMEM)
+        return pl.BlockSpec(shape, lambda i: (0,) * nd, memory_space=space)
+
+    if quant is not None:
+        # host-side dequant prep: per-projection act scale s = amax/127,
+        # quant multiplier 1/s (SMEM), dequant row s * w_scale[out] (VMEM)
+        act_s, inv_s, deq = {}, [], {}
+        for qname in ("qkv", "proj", "fc1", "fc2"):
+            s = jnp.maximum(quant[f"act_amax_{qname}"].astype(jnp.float32),
+                            1e-12) / 127.0
+            inv_s.append(1.0 / s)
+            deq[qname] = (s * quant[f"w_scale_{qname}"].astype(jnp.float32)
+                          ).reshape(1, -1)
+        inv_arr = jnp.stack(inv_s).reshape(1, 4)
+
+        def frow(name):  # float32 bias row (params may be bf16)
+            return params[name].astype(jnp.float32).reshape(1, -1)
+
+        weights = [
+            vec("norm1_scale"), vec("norm1_bias"),
+            params["qkv_kernel"], frow("qkv_bias"), deq["qkv"],
+            params["proj_kernel"], frow("proj_bias"), deq["proj"],
+            vec("norm2_scale"), vec("norm2_bias"),
+            params["fc1_kernel"], frow("fc1_bias"), deq["fc1"],
+            params["fc2_kernel"], frow("fc2_bias"), deq["fc2"],
+        ]
+        in_specs = ([x_spec] + [wspec(w.shape) for w in weights]
+                    + [wspec(mask_arr.shape),
+                       wspec((1, 4), space=pltpu.SMEM)])
+        return pl.pallas_call(
+            _make_kernel_int8(group, num_heads, head_dim, scale),
+            grid=(b // group,),
+            in_specs=in_specs,
+            out_specs=x_spec,
+            out_shape=jax.ShapeDtypeStruct((b, n, c), x.dtype),
+            scratch_shapes=[pltpu.VMEM((n, c), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(x, *weights, jnp.asarray(mask_arr), inv_arr)
 
     weights = [
         vec("norm1_scale"), vec("norm1_bias"),

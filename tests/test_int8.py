@@ -76,6 +76,43 @@ def test_calibrate_quantize_roundtrip(feature):
     assert np.abs(a - b).mean() <= 0.1 * np.abs(a).mean() + 1e-6
 
 
+def test_calibrate_quantize_roundtrip_svtr():
+    """SVTR: every block's 4 projections calibrate and quantize; the int8
+    model (composed path on CPU) stays within quantization error of f32."""
+    opt = default_options(Transformation="None", FeatureExtraction="SVTR",
+                          SequenceModeling="None", Prediction="CTC",
+                          output_channel=64, hidden_size=32, imgH=32,
+                          imgW=64)
+    img = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 64, 4))
+    m = build_recognizer(opt, 10)
+    v = m.init({"params": jax.random.PRNGKey(0), "droppath": jax.random.PRNGKey(2)},
+               img, train=False)
+
+    m_cal = build_recognizer(opt, 10, quant="calib")
+    _, upd = m_cal.apply(v, img, train=False, mutable=["quant"])
+    amaxes = [p for p, l in jax.tree_util.tree_leaves_with_path(upd["quant"])
+              if p[-1].key.startswith("act_amax_")]
+    assert len(amaxes) == 12 * 4  # 12 blocks x 4 projections
+
+    qv = quantize_variables(dict(v, quant=upd["quant"]))
+    qkv_kernels = [l for path, l in
+                   jax.tree_util.tree_leaves_with_path(qv["params"])
+                   if path[-1].key in ("qkv_kernel", "proj_kernel",
+                                       "fc1_kernel", "fc2_kernel")]
+    assert len(qkv_kernels) == 12 * 4
+    assert all(k.dtype == jnp.int8 for k in qkv_kernels)
+    # conv kernels (patch embed / subsample) deliberately stay float
+    assert all(l.dtype != jnp.int8 for path, l in
+               jax.tree_util.tree_leaves_with_path(qv["params"])
+               if path[-1].key == "kernel")
+
+    m_i8 = build_recognizer(opt, 10, quant="int8")
+    out_f32 = m.apply(v, img, train=False, method="features_only")
+    out_i8 = m_i8.apply(qv, img, train=False, method="features_only")
+    a, b = np.asarray(out_f32), np.asarray(out_i8)
+    assert np.abs(a - b).mean() <= 0.1 * np.abs(a).mean() + 1e-6
+
+
 @pytest.mark.slow
 def test_int8_eval_cli_accuracy_parity(tmp_path):
     """evaluate_cli --int8 on a trained tiny CRNN matches the f32 word
