@@ -227,40 +227,34 @@ def main():
     # informational secondaries (stderr only), skipped if the headline sweep
     # already consumed the time budget
     if time.perf_counter() - t_start < 900:
-        try:
-            _gelu_serving_check()
-            _secondary_arch("CRNN", dict(Transformation="None",
-                                         FeatureExtraction="VGG",
-                                         SequenceModeling="BiLSTM",
-                                         Prediction="CTC"))
-            _secondary_arch("TRBA", dict(Transformation="TPS",
-                                         FeatureExtraction="ResNet",
-                                         SequenceModeling="BiLSTM",
-                                         Prediction="Attn"))
-            _secondary_arch("TRBA", dict(Transformation="TPS",
-                                         FeatureExtraction="ResNet",
-                                         SequenceModeling="BiLSTM",
-                                         Prediction="Attn"), batch_size=512)
-            _secondary_arch("TRBA", dict(Transformation="TPS",
-                                         FeatureExtraction="ResNet",
-                                         SequenceModeling="BiLSTM",
-                                         Prediction="Attn"), batch_size=512,
-                            int8=True)
+        _CRNN = dict(Transformation="None", FeatureExtraction="VGG",
+                     SequenceModeling="BiLSTM", Prediction="CTC")
+        _TRBA = dict(Transformation="TPS", FeatureExtraction="ResNet",
+                     SequenceModeling="BiLSTM", Prediction="Attn")
+        _SVTR = dict(Transformation="None", FeatureExtraction="SVTR",
+                     SequenceModeling="None", Prediction="CTC")
+        secondaries = [
+            ("gelu-approx", _gelu_serving_check, (), {}),
+            ("CRNN", _secondary_arch, ("CRNN", _CRNN), {}),
+            ("TRBA bs256", _secondary_arch, ("TRBA", _TRBA), {}),
+            ("TRBA bs512", _secondary_arch, ("TRBA", _TRBA),
+             dict(batch_size=512)),
+            ("TRBA int8", _secondary_arch, ("TRBA", _TRBA),
+             dict(batch_size=512, int8=True)),
             # w8a8 SVTR: block projections (~79% of FLOPs) on the int8 MXU
             # via the fused Pallas kernel (ops/svtr_block._make_kernel_int8)
-            _secondary_arch("SVTR", dict(Transformation="None",
-                                         FeatureExtraction="SVTR",
-                                         SequenceModeling="None",
-                                         Prediction="CTC"), batch_size=512,
-                            int8=True)
-            _secondary_arch("SVTR", dict(Transformation="None",
-                                         FeatureExtraction="SVTR",
-                                         SequenceModeling="None",
-                                         Prediction="CTC"), batch_size=1024,
-                            int8=True)
-            _train_step_bench()
-        except Exception as e:
-            print(f"# secondary benches failed: {e}", file=sys.stderr)
+            ("SVTR int8 bs512", _secondary_arch, ("SVTR", _SVTR),
+             dict(batch_size=512, int8=True)),
+            ("SVTR int8 bs1024", _secondary_arch, ("SVTR", _SVTR),
+             dict(batch_size=1024, int8=True)),
+            ("train-step", _train_step_bench, (), {}),
+        ]
+        for label, fn, fargs, fkw in secondaries:
+            try:
+                fn(*fargs, **fkw)
+            except Exception as e:
+                print(f"# secondary bench {label} failed: {e}",
+                      file=sys.stderr)
     print(json.dumps({
         "metric": f"svtr_infer_crops_per_sec_bs{best_bs}",
         "value": round(best, 1),

@@ -9,6 +9,11 @@ exactly read-x + write-out; all weights stay VMEM-resident across the grid.
 Shapes involved are tiny (N <= 512, C <= 256, hidden <= 1024), so a whole
 block's working set is a few MB.  Inference-only: the training path uses the
 composed XLA ops (with the pallas attention core) in mrn_tpu.models.svtr.
+
+A w8a8 variant (``_make_kernel_int8``, selected by passing ``quant`` to
+``fused_block``) runs the four projections int8 x int8 -> int32 on the MXU
+(2x the bf16 OPS on v5e) with per-tensor calibrated activation scales; see
+mrn_tpu.ops.int8 for the calibration/quantization flow.
 """
 
 from __future__ import annotations

@@ -177,3 +177,20 @@ def test_model_name_presets():
         ec.apply_model_name_presets(opt)
         assert (opt.Transformation, opt.FeatureExtraction,
                 opt.SequenceModeling, opt.Prediction) == stages
+
+
+def test_model_name_preset_gate(tmp_path):
+    """The built-in model_name default ("CRNN") must not stomp a config's
+    explicitly configured stages: presets apply only when the config (or
+    the CLI) names one — reference test.py:467-492 maps cfg.test's value."""
+    import evaluate_cli as ec
+
+    implicit = tmp_path / "svtr_noname.py"
+    implicit.write_text(
+        'common = dict(exp_name="x")\n'
+        'model = dict(Transformation="None", FeatureExtraction="SVTR",'
+        ' SequenceModeling="None", Prediction="CTC")\n')
+    explicit = tmp_path / "crnn_named.py"
+    explicit.write_text('model = dict(model_name="CRNN")\n')
+    assert not ec._config_sets_model_name(str(implicit))
+    assert ec._config_sets_model_name(str(explicit))
