@@ -42,6 +42,11 @@ def export_inference(learner, opt, batch_size: int, dtype_name: str = "bf16"):
         if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating) else x,
         learner.batch_stats)
     variables = {"params": params, "batch_stats": stats}
+    eval_quant = getattr(learner, "eval_quant", None)
+    if eval_quant is not None:
+        # quantized export (--int8): int8 kernels ride in params; the
+        # calibrated scales stay f32 (the dequant epilogue computes in f32)
+        variables["quant"] = eval_quant
     is_attn = opt.Prediction == "Attn"
     sos_id = getattr(learner.converter, "sos_id", 0)
 
@@ -71,6 +76,14 @@ def main():
     parser.add_argument("--batch_size", type=int, default=512)
     parser.add_argument("--dtype", choices=["bf16", "f32"], default="bf16")
     parser.add_argument("--taski", type=int, default=None)
+    parser.add_argument("--int8", action="store_true",
+                        help="export the post-training w8a8 model "
+                             "(mrn_tpu.ops.int8): calibrate on --calib_data "
+                             "(default: the config's first valid_datas), "
+                             "quantize, and serialize the int8 graph")
+    parser.add_argument("--calib_data", default=None,
+                        help="LMDB root whose <lan_list[0]> subdir feeds "
+                             "int8 calibration")
     args = parser.parse_args()
 
     from mrn_tpu.config import load_config
@@ -80,6 +93,19 @@ def main():
     np.random.seed(opt.manual_seed)
     last_task = args.taski if args.taski is not None else len(opt.lan_list) - 1
     learner = load_learner(opt, args.saved_model, last_task)
+
+    if args.int8:
+        if opt.il in ("mrn", "der") and last_task > 0:
+            parser.error("--int8 supports single-recognizer models (the "
+                         "composite MRN/DER eval paths stay bf16)")
+        from evaluate_cli import quantize_learner_int8
+        from mrn_tpu.data.manager import ValDataset
+
+        calib_root = args.calib_data or opt.valid_datas[0]
+        calib_dir = os.path.join(calib_root, opt.lan_list[0])
+        calib_loader = ValDataset([calib_dir], opt).create_dataset()
+        quantize_learner_int8(learner, opt, calib_loader)
+        print("# int8: calibrated + quantized (w8a8) before export")
 
     blob, out_avals = export_inference(learner, opt, args.batch_size,
                                        args.dtype)
