@@ -241,6 +241,8 @@ def main():
              dict(batch_size=512)),
             ("TRBA int8", _secondary_arch, ("TRBA", _TRBA),
              dict(batch_size=512, int8=True)),
+            ("CRNN int8", _secondary_arch, ("CRNN", _CRNN),
+             dict(batch_size=256, int8=True)),
             # w8a8 SVTR: block projections (~79% of FLOPs) on the int8 MXU
             # via the fused Pallas kernel (ops/svtr_block._make_kernel_int8)
             ("SVTR int8 bs512", _secondary_arch, ("SVTR", _SVTR),
