@@ -233,6 +233,16 @@ def main():
                      SequenceModeling="BiLSTM", Prediction="Attn")
         _SVTR = dict(Transformation="None", FeatureExtraction="SVTR",
                      SequenceModeling="None", Prediction="CTC")
+        def _svtr_int8_attn(batch_size):
+            # int8 attention matmuls on top of the int8 projections
+            from mrn_tpu.models import svtr as svtr_mod
+            svtr_mod.set_attention_int8(True)
+            try:
+                _secondary_arch("SVTR+attn", _SVTR, batch_size=batch_size,
+                                int8=True)
+            finally:
+                svtr_mod.set_attention_int8(False)
+
         secondaries = [
             ("gelu-approx", _gelu_serving_check, (), {}),
             ("CRNN", _secondary_arch, ("CRNN", _CRNN), {}),
@@ -249,6 +259,8 @@ def main():
              dict(batch_size=512, int8=True)),
             ("SVTR int8 bs1024", _secondary_arch, ("SVTR", _SVTR),
              dict(batch_size=1024, int8=True)),
+            ("SVTR int8+attn bs512", _svtr_int8_attn, (),
+             dict(batch_size=512)),
             ("train-step", _train_step_bench, (), {}),
         ]
         for label, fn, fargs, fkw in secondaries:

@@ -60,6 +60,25 @@ def gelu_approximate() -> bool:
     return _GELU_APPROX
 
 
+# Serving-mode switch: also run the attention matmuls (QK^T / PV) int8 in
+# the fused w8a8 block kernel.  head_dim 32 pads the MXU contraction 4x, so
+# these matmuls carry ~45% of SVTR's MXU ticks despite ~17% of its FLOPs;
+# int8 halves the tick cost.  q/k/v use calibrated per-tensor scales
+# (recorded by quant="calib"), P uses the static [0,1] -> /127 scale.
+# Default False: quantization noise inside softmax is a second accuracy
+# trade on top of the projection PTQ — enable after measuring both.
+_ATTENTION_INT8 = False
+
+
+def set_attention_int8(flag: bool):
+    global _ATTENTION_INT8
+    _ATTENTION_INT8 = bool(flag)
+
+
+def attention_int8() -> bool:
+    return _ATTENTION_INT8
+
+
 def _impl_resolved() -> str:
     impl = _ATTENTION_IMPL
     if impl == "auto":
@@ -198,13 +217,20 @@ class Block(nn.Module):
                 qv[f"w_scale_{qname}"] = self.variable(
                     "quant", f"w_scale_{qname}",
                     lambda d=out_dim: jnp.ones((d,), jnp.float32)).value
+            for qname in ("q", "k", "v"):  # int8-attention scales
+                qv[f"act_amax_{qname}"] = self.variable(
+                    "quant", f"act_amax_{qname}",
+                    lambda: jnp.zeros((), jnp.float32)).value
+
+        def record_amax(qname, h):
+            var = self.variable("quant", f"act_amax_{qname}",
+                                lambda: jnp.zeros((), jnp.float32))
+            var.value = jnp.maximum(
+                var.value, jnp.max(jnp.abs(h)).astype(jnp.float32))
 
         def project(qname, h, kernel, bias):
             if self.quant == "calib":
-                var = self.variable("quant", f"act_amax_{qname}",
-                                    lambda: jnp.zeros((), jnp.float32))
-                var.value = jnp.maximum(
-                    var.value, jnp.max(jnp.abs(h)).astype(jnp.float32))
+                record_amax(qname, h)
             if qv is not None:
                 from mrn_tpu.ops.int8 import dense_w8a8
                 return dense_w8a8(h, kernel, qv[f"w_scale_{qname}"],
@@ -227,6 +253,12 @@ class Block(nn.Module):
         qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
         qkv = jnp.transpose(qkv, (2, 0, 3, 1, 4))
         q, k, v = qkv[0] * scale, qkv[1], qkv[2]
+        if self.quant == "calib":
+            # int8-attention scales (q recorded post-scale, matching the
+            # fused kernel's quantization point)
+            record_amax("q", q)
+            record_amax("k", k)
+            record_amax("v", v)
         attn = _attention_core(q, k, v, mask)  # [B, h, N, d]
         attn = jnp.transpose(attn, (0, 2, 1, 3)).reshape(b, n, c)
         attn = project("proj", attn, params["proj_kernel"],

@@ -103,12 +103,14 @@ def _make_kernel(group: int, num_heads: int, head_dim: int, scale: float):
 
 
 def _make_kernel_int8(group: int, num_heads: int, head_dim: int,
-                      scale: float):
+                      scale: float, attn_int8: bool = False):
     """w8a8 variant: the four projections run int8 x int8 -> int32 on the
     MXU (2x the bf16 OPS on v5e) with per-tensor activation quantization
-    (calibrated scales in SMEM) and a float dequant epilogue; LayerNorm,
-    softmax and the attention matmuls stay float (head_dim 32 keeps QK^T/PV
-    contraction-pad-bound regardless of dtype)."""
+    (calibrated scales in SMEM) and a float dequant epilogue; LayerNorm and
+    softmax stay float.  ``attn_int8`` additionally quantizes the attention
+    matmuls (q/k/v with calibrated scales, P with the static [0,1] -> /127
+    scale) — head_dim 32 pads the MXU contraction 4x, so QK^T/PV carry a
+    tick share far above their FLOP share and int8 halves that cost."""
     c = num_heads * head_dim
 
     def kernel(x_ref, n1s_ref, n1b_ref, qkvk_ref, qkvb_ref, dqq_ref,
@@ -134,21 +136,37 @@ def _make_kernel_int8(group: int, num_heads: int, head_dim: int,
             qkv = jnp.dot(q8(h, 0), qkvk_ref[...],
                           preferred_element_type=jnp.int32)
             qkv = qkv.astype(jnp.float32) * dqq_ref[...] + qkvb_ref[...]
+            if attn_int8:
+                # dequant scalars recovered from the SMEM inv scales
+                s_qk = 1.0 / (inv_ref[0, 4] * inv_ref[0, 5])
+                s_pv = 1.0 / (inv_ref[0, 6] * 127.0)
             for hd in range(num_heads):
                 lo = hd * head_dim
                 q = qkv[:, lo:lo + head_dim] * scale
                 k = qkv[:, c + lo:c + lo + head_dim]
                 v = qkv[:, 2 * c + lo:2 * c + lo + head_dim]
-                s = jax.lax.dot_general(
-                    q.astype(x_ref.dtype), k.astype(x_ref.dtype),
-                    (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                s = s + mask
+                if attn_int8:
+                    s = jax.lax.dot_general(
+                        q8(q, 4), q8(k, 5), (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.int32)
+                    s = s.astype(jnp.float32) * s_qk + mask
+                else:
+                    s = jax.lax.dot_general(
+                        q.astype(x_ref.dtype), k.astype(x_ref.dtype),
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    s = s + mask
                 m = jnp.max(s, axis=-1, keepdims=True)
                 p = jnp.exp(s - m)
                 p = p / jnp.sum(p, axis=-1, keepdims=True)
-                o = jnp.dot(p.astype(x_ref.dtype), v.astype(x_ref.dtype),
-                            preferred_element_type=jnp.float32)
+                if attn_int8:
+                    p8 = jnp.round(p * 127.0).astype(jnp.int8)  # p in [0,1]
+                    o = jnp.dot(p8, q8(v, 6),
+                                preferred_element_type=jnp.int32)
+                    o = o.astype(jnp.float32) * s_pv
+                else:
+                    o = jnp.dot(p.astype(x_ref.dtype), v.astype(x_ref.dtype),
+                                preferred_element_type=jnp.float32)
                 attn_scratch[:, lo:lo + head_dim] = o.astype(
                     attn_scratch.dtype)
             attn = jnp.dot(q8(attn_scratch[...], 1), pk_ref[...],
@@ -212,16 +230,26 @@ def fused_block(x, params, mask: Optional[np.ndarray], num_heads: int,
         return pl.BlockSpec(shape, lambda i: (0,) * nd, memory_space=space)
 
     if quant is not None:
+        from mrn_tpu.models.svtr import attention_int8
+
+        attn_int8 = attention_int8()
         # host-side dequant prep: per-projection act scale s = amax/127,
-        # quant multiplier 1/s (SMEM), dequant row s * w_scale[out] (VMEM)
-        act_s, inv_s, deq = {}, [], {}
+        # quant multiplier 1/s (SMEM), dequant row s * w_scale[out] (VMEM);
+        # slots 4-6 carry the q/k/v inv scales for the int8-attention mode
+        inv_s, deq = [], {}
         for qname in ("qkv", "proj", "fc1", "fc2"):
             s = jnp.maximum(quant[f"act_amax_{qname}"].astype(jnp.float32),
                             1e-12) / 127.0
             inv_s.append(1.0 / s)
             deq[qname] = (s * quant[f"w_scale_{qname}"].astype(jnp.float32)
                           ).reshape(1, -1)
-        inv_arr = jnp.stack(inv_s).reshape(1, 4)
+        for qname in ("q", "k", "v"):
+            amax = quant.get(f"act_amax_{qname}",
+                             jnp.zeros((), jnp.float32))
+            s = jnp.maximum(jnp.asarray(amax, jnp.float32), 1e-12) / 127.0
+            inv_s.append(1.0 / s)
+        inv_s.append(jnp.zeros((), jnp.float32))  # pad to 8
+        inv_arr = jnp.stack(inv_s).reshape(1, 8)
 
         def frow(name):  # float32 bias row (params may be bf16)
             return params[name].astype(jnp.float32).reshape(1, -1)
@@ -236,9 +264,10 @@ def fused_block(x, params, mask: Optional[np.ndarray], num_heads: int,
         ]
         in_specs = ([x_spec] + [wspec(w.shape) for w in weights]
                     + [wspec(mask_arr.shape),
-                       wspec((1, 4), space=pltpu.SMEM)])
+                       wspec((1, 8), space=pltpu.SMEM)])
         return pl.pallas_call(
-            _make_kernel_int8(group, num_heads, head_dim, scale),
+            _make_kernel_int8(group, num_heads, head_dim, scale,
+                              attn_int8=attn_int8),
             grid=(b // group,),
             in_specs=in_specs,
             out_specs=x_spec,

@@ -92,7 +92,8 @@ def test_calibrate_quantize_roundtrip_svtr():
     _, upd = m_cal.apply(v, img, train=False, mutable=["quant"])
     amaxes = [p for p, l in jax.tree_util.tree_leaves_with_path(upd["quant"])
               if p[-1].key.startswith("act_amax_")]
-    assert len(amaxes) == 12 * 4  # 12 blocks x 4 projections
+    # 12 blocks x (4 projections + q/k/v attention scales)
+    assert len(amaxes) == 12 * 7
 
     qv = quantize_variables(dict(v, quant=upd["quant"]))
     qkv_kernels = [l for path, l in
