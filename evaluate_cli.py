@@ -69,16 +69,6 @@ def apply_model_name_presets(opt):
     return opt
 
 
-def _config_sets_model_name(path: str) -> bool:
-    """True when the config file itself names a model preset in any of its
-    section dicts (as the reference's cfg.test does, test.py:467-492)."""
-    import runpy
-
-    ns = runpy.run_path(path)
-    return any(isinstance(ns.get(s), dict) and "model_name" in ns[s]
-               for s in ("common", "model", "optimizer", "train", "test"))
-
-
 def load_learner(opt, saved_model: str, last_task: int):
     """Rebuild the learner at the checkpointed class count and load weights
     (reference test.py:282-331 model build + load_state_dict)."""
@@ -149,6 +139,10 @@ def quantize_learner_int8(learner, opt, calib_loader, n_batches: int = 4):
         _, upd = calib.apply(v, learner._device_images(images), train=False,
                              is_train=False, mutable=["quant"], **kw)
         quant = upd["quant"]
+    if quant is None:
+        raise ValueError("int8 calibration saw no batches — the calibration "
+                         "loader is empty; quantizing without activation "
+                         "ranges would produce garbage")
     qv = quantize_variables({**variables, "quant": quant})
     learner.model = build_recognizer(opt, learner._total_classes, quant="int8")
     learner.params = qv["params"]
@@ -328,7 +322,7 @@ def main():
     if args.model_name:
         opt.model_name = args.model_name
         apply_model_name_presets(opt)
-    elif _config_sets_model_name(args.config):
+    elif "model_name" in opt.get("explicit_keys", ()):
         # The reference maps model_name -> stage presets only when cfg.test
         # names one (test.py:476-492); the built-in default ("CRNN") must
         # not stomp a config's explicitly configured stages (e.g. SVTR).
@@ -347,12 +341,18 @@ def main():
         if opt.il in ("mrn", "der") and last_task > 0:
             parser.error("--int8 supports single-recognizer models (the "
                          "composite MRN/DER eval paths stay bf16)")
-        calib_root = (args.eval_data[0] if args.eval_data
-                      else EVAL_TYPE_PRESETS[args.eval_type][1])
+        if args.eval_data:
+            calib_root = args.eval_data[0]
+        elif args.eval_type in EVAL_TYPE_PRESETS:
+            calib_root = EVAL_TYPE_PRESETS[args.eval_type][1]
+        else:
+            parser.error("--int8 needs calibration data: pass --eval_data "
+                         "or a known --eval_type")
         calib_dir = os.path.join(calib_root, opt.lan_list[0])
         calib_loader = ValDataset([calib_dir], opt).create_dataset()
         quantize_learner_int8(learner, opt, calib_loader)
-        print("# int8: conv path quantized (w8a8, per-channel weights)")
+        print("# int8: quantized w8a8 (per-channel weights; conv "
+              "extractors + SVTR block projections)")
 
     from mrn_tpu.models.surgery import count_params
     n_params = count_params(learner.params)

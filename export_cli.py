@@ -101,6 +101,9 @@ def main():
         from evaluate_cli import quantize_learner_int8
         from mrn_tpu.data.manager import ValDataset
 
+        if not args.calib_data and not opt.get("valid_datas"):
+            parser.error("--int8 needs calibration data: pass --calib_data "
+                         "(the config has no valid_datas)")
         calib_root = args.calib_data or opt.valid_datas[0]
         calib_dir = os.path.join(calib_root, opt.lan_list[0])
         calib_loader = ValDataset([calib_dir], opt).create_dataset()

@@ -133,9 +133,16 @@ def load_config(path: str, extra_sections: Optional[List[str]] = None, **overrid
     """
     ns = runpy.run_path(path)
     merged = copy.deepcopy(_DEFAULTS)
+    explicit = set()
     sections = list(_SECTION_ORDER) + list(extra_sections or [])
     for section in sections:
         if section in ns and isinstance(ns[section], dict):
             merged.update(copy.deepcopy(ns[section]))
+            explicit.update(ns[section].keys())
     merged.update(overrides)
-    return Options(**merged)
+    explicit.update(overrides)
+    opt = Options(**merged)
+    # keys the config file (or caller) actually set, vs. _DEFAULTS fallbacks
+    # — lets CLIs distinguish "config says model_name=CRNN" from the default
+    opt.explicit_keys = frozenset(explicit)
+    return opt

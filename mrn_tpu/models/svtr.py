@@ -71,6 +71,10 @@ _ATTENTION_INT8 = False
 
 
 def set_attention_int8(flag: bool):
+    """Only affects the FUSED int8 kernel (TPU, quant="int8", no mesh): the
+    composed path's attention always stays float, and the flag is read at
+    TRACE time — set it before building/jitting the inference fn; an
+    already-compiled function keeps whichever mode it traced with."""
     global _ATTENTION_INT8
     _ATTENTION_INT8 = bool(flag)
 

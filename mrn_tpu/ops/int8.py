@@ -131,7 +131,7 @@ def quantize_variables(variables: dict) -> dict:
     the updated ``params`` and ``quant`` collections; everything else is
     passed through untouched."""
     params = variables["params"]
-    quant = variables.get("quant", {})
+    quant = variables.get("quant") or {}  # tolerate None (empty calibration)
     if "act_amax_qkv" in quant and "qkv_kernel" in params:
         # a bare SVTR Block as the root module (tests / kernel tools)
         new_params, new_quant = _quantize_block(params, quant)

@@ -182,8 +182,10 @@ def test_model_name_presets():
 def test_model_name_preset_gate(tmp_path):
     """The built-in model_name default ("CRNN") must not stomp a config's
     explicitly configured stages: presets apply only when the config (or
-    the CLI) names one — reference test.py:467-492 maps cfg.test's value."""
-    import evaluate_cli as ec
+    the CLI) names one — reference test.py:467-492 maps cfg.test's value.
+    load_config exposes explicit_keys so CLIs can tell config-set values
+    from _DEFAULTS fallbacks."""
+    from mrn_tpu.config import load_config
 
     implicit = tmp_path / "svtr_noname.py"
     implicit.write_text(
@@ -192,5 +194,8 @@ def test_model_name_preset_gate(tmp_path):
         ' SequenceModeling="None", Prediction="CTC")\n')
     explicit = tmp_path / "crnn_named.py"
     explicit.write_text('model = dict(model_name="CRNN")\n')
-    assert not ec._config_sets_model_name(str(implicit))
-    assert ec._config_sets_model_name(str(explicit))
+    opt_i = load_config(str(implicit))
+    opt_e = load_config(str(explicit))
+    assert "model_name" not in opt_i.explicit_keys
+    assert "FeatureExtraction" in opt_i.explicit_keys
+    assert "model_name" in opt_e.explicit_keys

