@@ -245,6 +245,8 @@ def main():
 
         secondaries = [
             ("gelu-approx", _gelu_serving_check, (), {}),
+            ("gelu-approx bs2048", _gelu_serving_check, (),
+             dict(batch_size=2048)),
             ("CRNN", _secondary_arch, ("CRNN", _CRNN), {}),
             ("TRBA bs256", _secondary_arch, ("TRBA", _TRBA), {}),
             ("TRBA bs512", _secondary_arch, ("TRBA", _TRBA),

@@ -30,15 +30,34 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["fused_block"]
 
 
+# erf(z) = z * P(u) with u an affine map of clamp(z^2): odd minimax
+# polynomial, degree 15 in u (Chebyshev-fit on [0, 3.7], converted to the
+# shifted monomial basis so f32 Horner stays well-conditioned).  Coefficients
+# low -> high.
+_ERF_Z0SQ = 3.7 * 3.7
+_ERF_COEFS = (
+    0.3821374773979187, -0.1904679834842682, 0.14079536497592926,
+    -0.11263926327228546, 0.09052307158708572, -0.07047279179096222,
+    0.0521380715072155, -0.03618001565337181, 0.023104503750801086,
+    -0.013829714618623257, 0.008435077033936977, -0.004555193707346916,
+    0.0014333085855469108, -0.0005751904682256281, 0.0007578228251077235,
+    -0.0003343276330269873)
+
+
 def _erf_poly(z):
-    """Abramowitz-Stegun 7.1.26 rational erf approximation (|err| < 1.5e-7 —
-    below bf16 resolution).  Pallas TPU has no erf/erfc lowering."""
-    sign = jnp.sign(z)
-    z = jnp.abs(z)
-    t = 1.0 / (1.0 + 0.3275911 * z)
-    poly = t * (0.254829592 + t * (-0.284496736 + t * (
-        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
-    return sign * (1.0 - poly * jnp.exp(-z * z))
+    """Transcendental-free minimax erf: |err| < 1.9e-7 over ALL f32 inputs
+    (dense-grid verified in tests/test_svtr_block.py) — the same
+    below-bf16-resolution accuracy as the Abramowitz-Stegun 7.1.26 rational
+    form this replaces, but as a pure FMA chain: no exp, no divide.  exp+div
+    made exact-erf GELU ~20% of fused-block runtime on the VPU (README
+    roofline).  Odd symmetry comes from the final z* multiply; |z| > 3.7
+    saturates via the clip (erfc(3.7) < 1.7e-7).  Pallas TPU has no erf
+    lowering of its own."""
+    u = (2.0 / _ERF_Z0SQ) * jnp.minimum(z * z, _ERF_Z0SQ) - 1.0
+    p = _ERF_COEFS[-1]
+    for c in _ERF_COEFS[-2::-1]:
+        p = p * u + c
+    return jnp.clip(z * p, -1.0, 1.0)
 
 
 def _gelu_kernel(x, approximate: bool):

@@ -177,3 +177,30 @@ def test_block_train_path_unchanged_by_param_restructure(rng):
     g = jax.grad(loss)(variables["params"])
     assert float(jnp.abs(g["qkv_kernel"]).sum()) > 0
     assert float(jnp.abs(g["fc2_kernel"]).sum()) > 0
+
+
+def test_erf_poly_accuracy_dense_grid():
+    """The kernel's transcendental-free minimax erf (degree-15 shifted-
+    monomial Horner, no exp/divide) stays below bf16 resolution against the
+    f64 oracle over a dense full-range f32 grid, including the |z| > 3.7
+    saturation region and odd symmetry."""
+    import math
+
+    from mrn_tpu.ops.svtr_block import _erf_poly, _gelu_kernel
+
+    z = np.linspace(-30.0, 30.0, 400001).astype(np.float32)
+    oracle = np.vectorize(math.erf)(z.astype(np.float64))
+    got = np.asarray(jax.jit(_erf_poly)(jnp.asarray(z)))
+    assert np.max(np.abs(got - oracle)) < 3e-7
+    # odd symmetry + exact saturation
+    np.testing.assert_array_equal(
+        np.asarray(jax.jit(_erf_poly)(jnp.asarray(-z))), -got)
+    assert got[0] == -1.0 and got[-1] == 1.0
+
+    # end-to-end through the GELU used by the fused kernel
+    x = np.linspace(-12.0, 12.0, 200001).astype(np.float32)
+    gelu_oracle = 0.5 * x.astype(np.float64) * (
+        1.0 + np.vectorize(math.erf)(x.astype(np.float64) / math.sqrt(2)))
+    gelu_got = np.asarray(jax.jit(
+        lambda v: _gelu_kernel(v, False))(jnp.asarray(x)))
+    assert np.max(np.abs(gelu_got - gelu_oracle)) < 4e-6
