@@ -25,22 +25,27 @@ __all__ = ["apply_reference_init", "grow_fc", "grow_fc_der", "weight_align",
 _TORCH_LAYOUT_WEIGHTS = ("w_ih", "w_hh", "char_embeddings")
 
 
-def _kaiming_for(path_names, leaf):
+def _kaiming_for(path_names, shape):
     name = path_names[-1]
     if name.endswith("kernel"):
-        if leaf.ndim == 2:
-            fan_in = leaf.shape[0]
+        if len(shape) == 2:
+            fan_in = shape[0]
         else:  # conv [kh, kw, in, out]
-            fan_in = leaf.shape[-2] * int(np.prod(leaf.shape[:-2]))
+            fan_in = shape[-2] * int(np.prod(shape[:-2]))
     elif name in _TORCH_LAYOUT_WEIGHTS:
-        fan_in = leaf.shape[1]
+        fan_in = shape[1]
     else:
         return None
     return math.sqrt(2.0 / max(1, fan_in))
 
 
-def apply_reference_init(params, rng: jax.Array):
-    """Reference build_model init pass over a params pytree."""
+def apply_reference_init(params, rng: jax.Array, stacked: Tuple[str, ...] = ()):
+    """Reference build_model init pass over a params pytree.
+
+    ``stacked`` names subtrees whose leaves carry one leading nn.vmap stack
+    axis (e.g. DERNet's ``extractors``): fan-in there is computed on the
+    per-slice shape — a stacked LSTM ``w_ih`` of [I, 4h, in] must read
+    fan_in = in, not 4h, or every expert starts under-scaled."""
     flat = jax.tree_util.tree_flatten_with_path(params)
     leaves_with_path, treedef = flat
     keys = jax.random.split(rng, max(1, len(leaves_with_path)))
@@ -52,7 +57,10 @@ def apply_reference_init(params, rng: jax.Array):
             new_leaves.append(leaf)  # pre-initialized, skipped by the pass
             continue
         name = str(names[-1])
-        std = _kaiming_for([str(n) for n in names], leaf)
+        shape = leaf.shape
+        if stacked and any(str(n) in stacked for n in names):
+            shape = leaf.shape[1:]
+        std = _kaiming_for([str(n) for n in names], shape)
         if std is not None:
             new_leaves.append(std * jax.random.normal(key, leaf.shape, leaf.dtype))
         elif name.endswith("bias") or name in ("b_ih", "b_hh"):

@@ -48,7 +48,8 @@ class DER(BaseLearner):
         self.n_experts = 1
         self.model = self._build_dernet(1)
         variables = self._init_variables(self.model)
-        self.params = apply_reference_init(variables["params"], self._next_rng())
+        self.params = apply_reference_init(variables["params"], self._next_rng(),
+                                           stacked=("extractors",))
         self.batch_stats = variables.get("batch_stats", {})
 
     def change_model(self):
