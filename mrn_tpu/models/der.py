@@ -20,7 +20,31 @@ from mrn_tpu.models.attention import AttentionDecoder
 from mrn_tpu.models.common import TorchDense
 from mrn_tpu.models.composer import Extractor
 
-__all__ = ["DERNet", "stack_extractor_params", "unstack_extractor_stats"]
+__all__ = ["DERNet", "extractor_stack", "stack_extractor_params",
+           "unstack_extractor_stats"]
+
+
+def extractor_stack(n_experts: int, transformation: str,
+                    feature_extraction: str, sequence_modeling: str,
+                    output_channel: int, hidden_size: int, num_fiducial: int,
+                    img_size: tuple, name: Optional[str] = None):
+    """The vmapped extractor stack, standalone.
+
+    Its variable tree matches DERNet's ``extractors`` subtree, so sliced
+    subtrees of a DERNet checkpoint apply directly — the DER learner uses
+    this to run frozen experts in eval mode while the newest trains
+    (reference model_eval_and_train, il_modules/der.py:38-43)."""
+    cls = nn.vmap(
+        Extractor,
+        variable_axes={"params": 0, "batch_stats": 0},
+        split_rngs={"params": True, "droppath": True},
+        in_axes=(None, None),
+        out_axes=0,
+        axis_size=n_experts,
+    )
+    return cls(transformation, feature_extraction, sequence_modeling,
+               output_channel, hidden_size, num_fiducial, img_size,
+               name=name)
 
 
 class DERNet(nn.Module):
@@ -37,18 +61,10 @@ class DERNet(nn.Module):
     batch_max_length: int = 25
 
     def setup(self):
-        stack_cls = nn.vmap(
-            Extractor,
-            variable_axes={"params": 0, "batch_stats": 0},
-            split_rngs={"params": True, "droppath": True},
-            in_axes=(None, None),
-            out_axes=0,
-            axis_size=self.n_experts,
-        )
-        self.extractors = stack_cls(
-            self.transformation, self.feature_extraction, self.sequence_modeling,
-            self.output_channel, self.hidden_size, self.num_fiducial,
-            self.img_size, name="extractors")
+        self.extractors = extractor_stack(
+            self.n_experts, self.transformation, self.feature_extraction,
+            self.sequence_modeling, self.output_channel, self.hidden_size,
+            self.num_fiducial, self.img_size, name="extractors")
         self.fc = TorchDense(self.num_classes, name="fc")
         self.aux_fc = TorchDense(self.num_classes, name="aux_fc")
         if self.prediction == "Attn":
@@ -68,6 +84,14 @@ class DERNet(nn.Module):
         if is_train is None:
             is_train = train
         feats = self.extractors(image, train)                # [I,B,T,H]
+        return self.heads(feats, text, is_train)
+
+    def heads(self, feats, text: Optional[jnp.ndarray] = None,
+              is_train: bool = True):
+        """Main + aux predictions from stacked extractor features [I,B,T,H].
+
+        Exposed as an apply-method so the DER learner can feed features from
+        a mixed-mode stack (frozen experts eval, newest train)."""
         i, b, t, h = feats.shape
         concat = jnp.transpose(feats, (1, 2, 0, 3)).reshape(b, t, i * h)
         newest = feats[-1]                                   # [B,T,H]

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mrn_tpu.models.der import DERNet
+from mrn_tpu.models.der import DERNet, extractor_stack
 from mrn_tpu.models.surgery import (apply_reference_init, grow_fc, grow_fc_der,
                                     weight_align)
 from mrn_tpu.train.learners.base import BaseLearner
@@ -102,16 +102,54 @@ class DER(BaseLearner):
 
     # ------------------------------------------------------------------ train
 
+    def _stack_module(self, k: int):
+        opt = self.opt
+        return extractor_stack(
+            k, opt.Transformation, opt.FeatureExtraction, opt.SequenceModeling,
+            opt.output_channel, opt.hidden_size, opt.num_fiducial,
+            (opt.imgH, opt.imgW))
+
     def _apply_train(self, params, batch_stats, batch, rng):
         kwargs = {}
         if self.opt.Prediction == "Attn":
             kwargs["text"] = batch["label"][:, :-1]
-        out, mutated = self.model.apply(
-            {"params": self._mp_cast(params),
-             "batch_stats": batch_stats},  # f32 EMA base (see base.py)
-            self._mp_cast(batch["image"]),
-            train=True, mutable=["batch_stats"], rngs={"droppath": rng}, **kwargs)
-        return self._mp_f32(out), self._mp_f32(mutated["batch_stats"])
+        p = self._mp_cast(params)
+        image = self._mp_cast(batch["image"])
+        if self.n_experts <= 1:
+            out, mutated = self.model.apply(
+                {"params": p, "batch_stats": batch_stats},  # f32 EMA base
+                image, train=True, mutable=["batch_stats"],
+                rngs={"droppath": rng}, **kwargs)
+            return self._mp_f32(out), self._mp_f32(mutated["batch_stats"])
+
+        # reference model_eval_and_train (il_modules/der.py:38-43): frozen
+        # old extractors forward in EVAL mode — their running stats feed the
+        # fc and never drift toward the rehearsal-mixed stream (the same BN
+        # bug class as MRN's stage-5 collapse). Only the newest expert runs
+        # in train mode and updates its stats.
+        n = self.n_experts
+        sl = lambda tree, s: jax.tree_util.tree_map(lambda x: x[s], tree)
+        feats_frozen = self._stack_module(n - 1).apply(
+            {"params": sl(p["extractors"], slice(0, n - 1)),
+             "batch_stats": sl(batch_stats["extractors"], slice(0, n - 1))},
+            image, False)
+        feats_frozen = jax.lax.stop_gradient(feats_frozen)
+        feats_live, mut = self._stack_module(1).apply(
+            {"params": sl(p["extractors"], slice(n - 1, n)),
+             "batch_stats": sl(batch_stats["extractors"], slice(n - 1, n))},
+            image, True, mutable=["batch_stats"], rngs={"droppath": rng})
+        feats = jnp.concatenate([feats_frozen, feats_live], axis=0)
+        out = self.model.apply(
+            {"params": p, "batch_stats": batch_stats}, feats,
+            is_train=True, method="heads", rngs={"droppath": rng}, **kwargs)
+
+        live_stats = self._mp_f32(mut["batch_stats"])
+        new_stats = dict(batch_stats)
+        new_stats["extractors"] = jax.tree_util.tree_map(
+            lambda full, new1: jnp.concatenate(
+                [full[:n - 1], new1.astype(full.dtype)], axis=0),
+            batch_stats["extractors"], live_stats)
+        return self._mp_f32(out), new_stats
 
     def loss_fn(self, params, batch_stats, batch, rng, aux):
         rec = recognition_loss(self.opt.Prediction, self._pad_id())

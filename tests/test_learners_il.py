@@ -167,3 +167,68 @@ def test_joint_loader(tmp_path):
                                           valid_datas=valid_datas,
                                           val_dataset_builder=builder)
     assert len(best) >= 1
+
+
+def test_der_mixed_mode_train_apply(tmp_path):
+    """Reference model_eval_and_train (il_modules/der.py:38-43): during
+    task>0 training the frozen experts forward in eval mode (running stats)
+    and their stats never update; only the newest expert trains."""
+    import jax
+    import jax.numpy as jnp
+    from mrn_tpu.train.learners.der import DER
+
+    opt = tiny_opt(il="der", memory="random", lan_list=["T0", "T1"],
+                   output_dir=str(tmp_path / "s"),
+                   data_log=str(tmp_path / "d.txt"))
+    learner = DER(opt)
+    learner.character = list("abcdef")
+    learner.converter = learner.build_converter()
+    learner.build_model()
+    learner._known_classes = learner._total_classes
+    learner.change_model()
+    assert learner.n_experts == 2
+
+    # make running stats diverge from batch stats so eval-mode forward is
+    # distinguishable from train-mode forward
+    stats = dict(learner.batch_stats)
+    stats["extractors"] = jax.tree_util.tree_map(
+        lambda x: x + jnp.concatenate(
+            [jnp.ones_like(x[:1]), jnp.zeros_like(x[1:])], axis=0),
+        stats["extractors"])
+
+    rng = jax.random.PRNGKey(0)
+    image = jax.random.normal(jax.random.PRNGKey(1),
+                              (4, opt.imgH, opt.imgW, opt.input_channel))
+    batch = {"image": image}
+
+    out_mixed, new_stats = learner._apply_train(learner.params, stats, batch, rng)
+
+    # naive all-train apply (the pre-fix behavior) must differ: the frozen
+    # expert's perturbed running stats only enter in eval mode
+    out_naive, _ = learner.model.apply(
+        {"params": learner.params, "batch_stats": stats},
+        image, train=True, mutable=["batch_stats"], rngs={"droppath": rng})
+    assert not np.allclose(np.asarray(out_mixed["logits"]),
+                           np.asarray(out_naive["logits"]), atol=1e-5)
+
+    # frozen expert's stats pinned; newest expert's stats updated
+    changed = []
+    for (path, old), (_, new) in zip(
+            jax.tree_util.tree_flatten_with_path(stats["extractors"])[0],
+            jax.tree_util.tree_flatten_with_path(new_stats["extractors"])[0]):
+        np.testing.assert_array_equal(np.asarray(old[0]), np.asarray(new[0]),
+                                      err_msg=f"frozen stats drifted: {path}")
+        changed.append(not np.array_equal(np.asarray(old[1]),
+                                          np.asarray(new[1])))
+    assert any(changed), "newest expert's BN stats never updated"
+
+    # gradients do not reach frozen extractor slices even without the mask
+    def scalar_loss(params):
+        out, _ = learner._apply_train(params, stats, batch, rng)
+        return jnp.sum(out["logits"] ** 2)
+
+    grads = jax.grad(scalar_loss)(learner.params)
+    for path, g in jax.tree_util.tree_flatten_with_path(
+            grads["extractors"])[0]:
+        assert float(jnp.abs(g[0]).max()) == 0.0, f"grad leaked: {path}"
+        del path
