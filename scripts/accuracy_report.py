@@ -180,8 +180,19 @@ def main():
             if lo in ov and hi in ov:
                 a, b = ov[lo]["final_aia"], ov[hi]["final_aia"]
                 ok = b >= a
-                ov_checks.append(f"- {lo} ({a:.2f}) <= {hi} ({b:.2f}): "
+                ov_checks.append(f"- AIA: {lo} ({a:.2f}) <= {hi} ({b:.2f}): "
                                  f"{'PASS' if ok else 'FAIL'}")
+        # retention is the metric regularization actually targets — require
+        # the penalty to reduce forgetting (lower is better)
+        for reg in ("ewc", "lwf"):
+            if "base" in ov and reg in ov and \
+                    ov["base"].get("avg_forgetting") is not None and \
+                    ov[reg].get("avg_forgetting") is not None:
+                a = ov["base"]["avg_forgetting"]
+                b = ov[reg]["avg_forgetting"]
+                ok = b <= a
+                ov_checks.append(f"- forgetting: {reg} ({b:.2f}) <= base"
+                                 f" ({a:.2f}): {'PASS' if ok else 'FAIL'}")
         if ov_checks:
             lines.append("\nOverlap-suite acceptance:\n")
             lines += ov_checks
