@@ -208,6 +208,35 @@ class DatasetManager:
                     taski, total_num=memory_num, index_array=index_list)
                 self._add_loader(IndexConcatDataset([memory_data, split_dataset]),
                                  self.opt.batch_size, with_index=True)
+        elif memory == "test_ch":
+            # mem: num (repeat-expanded) + curr: total, one mixed stream
+            # (data_manage.py:30-36). NOTE: in the reference these three mix
+            # policies are unusable outside il=mrn — get_batch unpacks the
+            # mix loader's 3-tuple into 2 and the `except ValueError: pass`
+            # (data_manage.py:212-213) silently drops the whole loader. Here
+            # they build a plain (un-indexed) mixed loader, so every
+            # memoryful learner can actually consume them.
+            memory_data, index_list = self.rehearsal_memory(
+                taski, total_num=memory_num, index_array=index_list,
+                repeat=True)
+            self._add_loader(ConcatDataset([memory_data, dataset]),
+                             self.opt.batch_size)
+        elif memory == "large":
+            # mem: num*taski + curr: num (data_manage.py:37-44)
+            index_current = self.rng.choice(len(dataset), memory_num,
+                                            replace=False)
+            split_dataset = Subset(dataset, index_current.tolist())
+            memory_data, index_list = self.rehearsal_memory(
+                taski, total_num=memory_num * taski, index_array=index_list)
+            self._add_loader(ConcatDataset([memory_data, split_dataset]),
+                             self.opt.batch_size)
+        elif memory == "total":
+            # curr: total + every previous task in full (data_manage.py:45-54)
+            total_list = [dataset]
+            for i in range(taski):
+                total_list.append(
+                    self.create_dataset(data_list=self.select_data, taski=i))
+            self._add_loader(ConcatDataset(total_list), self.opt.batch_size)
         elif memory is not None:
             # two half-batch loaders (data_manage.py:55-58)
             memory_data, index_list = self.rehearsal_memory(

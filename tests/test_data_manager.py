@@ -54,3 +54,20 @@ def test_repeat_to_50k():
     m.select_data = opt.select_data
     ds = m.create_dataset(data_list=opt.select_data, taski=0)
     assert len(ds) == 10 * int(50000 / 10)
+
+
+@pytest.mark.parametrize("policy", ["test_ch", "large", "total"])
+def test_mix_memory_policies(policy):
+    """The reference's three mix policies (data_manage.py:30-54) as USABLE
+    single-loader streams (there they only work under il=mrn's shadowing
+    branch; get_batch drops 3-tuple mix loaders via except-ValueError)."""
+    opt = tiny_opt(il="lwf", memory=policy, memory_num=4, batch_size=8)
+    source = make_source(opt, n_train=40)
+    m = DatasetManager(opt, dataset_factory=source.train_factory)
+    m.select_data = opt.select_data
+    m.get_dataset(1, memory=policy, index_list=[np.arange(4)])
+    assert len(m.loaders) == 1
+    assert m.loaders[0].batch_size == 8
+    images, labels = m.get_batch()
+    assert images.shape[0] == 8
+    assert len(labels) == 8
