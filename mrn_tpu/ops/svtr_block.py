@@ -73,6 +73,8 @@ def _make_kernel(group: int, num_heads: int, head_dim: int, scale: float):
                n2s_ref, n2b_ref, f1k_ref, f1b_ref, f2k_ref, f2b_ref,
                mask_ref, o_ref, attn_scratch):
         mask = mask_ref[...]
+        n = x_ref.shape[1]
+        dt = x_ref.dtype
 
         def ln(x, s_ref, b_ref):
             mean = jnp.mean(x, axis=-1, keepdims=True)
@@ -80,43 +82,47 @@ def _make_kernel(group: int, num_heads: int, head_dim: int, scale: float):
             y = (x - mean) * jax.lax.rsqrt(var + 1e-6)
             return y * s_ref[...] + b_ref[...]
 
-        def body(g, carry):
-            x = x_ref[pl.ds(g, 1), :, :][0].astype(jnp.float32)  # [N, C]
-            h = ln(x, n1s_ref, n1b_ref)
-            qkv = jnp.dot(h.astype(x_ref.dtype), qkvk_ref[...],
-                          preferred_element_type=jnp.float32) + qkvb_ref[...]
-            # per-head attention into the [N, C] scratch
+        # Group-batched projections: the four matmuls and the VPU-heavy
+        # LN/GELU run once over [group*N, .] instead of per image — the
+        # serial M=N dots were the tick bound, not HBM (README roofline).
+        # Only the [N, N]-score attention core stays per image.  The
+        # (G, N, C) -> (G*N, C) reshape merges G into the sublane dim
+        # (N % 8 == 0), so it is layout-free.
+        x = x_ref[...].reshape(group * n, c).astype(jnp.float32)
+        h = ln(x, n1s_ref, n1b_ref)
+        qkv = jnp.dot(h.astype(dt), qkvk_ref[...],
+                      preferred_element_type=jnp.float32) + qkvb_ref[...]
+        for g in range(group):
+            rows = slice(g * n, (g + 1) * n)
             for hd in range(num_heads):
                 lo = hd * head_dim
-                q = qkv[:, lo:lo + head_dim] * scale
-                k = qkv[:, c + lo:c + lo + head_dim]
-                v = qkv[:, 2 * c + lo:2 * c + lo + head_dim]
+                q = qkv[rows, lo:lo + head_dim] * scale
+                k = qkv[rows, c + lo:c + lo + head_dim]
+                v = qkv[rows, 2 * c + lo:2 * c + lo + head_dim]
                 s = jax.lax.dot_general(
-                    q.astype(x_ref.dtype), k.astype(x_ref.dtype),
+                    q.astype(dt), k.astype(dt),
                     (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)
                 s = s + mask
                 m = jnp.max(s, axis=-1, keepdims=True)
                 p = jnp.exp(s - m)
                 p = p / jnp.sum(p, axis=-1, keepdims=True)
-                o = jnp.dot(p.astype(x_ref.dtype), v.astype(x_ref.dtype),
+                o = jnp.dot(p.astype(dt), v.astype(dt),
                             preferred_element_type=jnp.float32)
-                attn_scratch[:, lo:lo + head_dim] = o.astype(attn_scratch.dtype)
-            attn = jnp.dot(attn_scratch[...].astype(x_ref.dtype), pk_ref[...],
-                           preferred_element_type=jnp.float32) + pb_ref[...]
-            x = x + attn
-            h = ln(x, n2s_ref, n2b_ref)
-            h = jnp.dot(h.astype(x_ref.dtype), f1k_ref[...],
-                        preferred_element_type=jnp.float32) + f1b_ref[...]
-            from mrn_tpu.models.svtr import gelu_approximate
-            h = _gelu_kernel(h, gelu_approximate())
-            h = jnp.dot(h.astype(x_ref.dtype), f2k_ref[...],
-                        preferred_element_type=jnp.float32) + f2b_ref[...]
-            out = x + h
-            o_ref[pl.ds(g, 1), :, :] = out[None].astype(o_ref.dtype)
-            return carry
-
-        jax.lax.fori_loop(0, group, body, 0)
+                attn_scratch[rows, lo:lo + head_dim] = o.astype(
+                    attn_scratch.dtype)
+        attn = jnp.dot(attn_scratch[...].astype(dt), pk_ref[...],
+                       preferred_element_type=jnp.float32) + pb_ref[...]
+        x = x + attn
+        h = ln(x, n2s_ref, n2b_ref)
+        h = jnp.dot(h.astype(dt), f1k_ref[...],
+                    preferred_element_type=jnp.float32) + f1b_ref[...]
+        from mrn_tpu.models.svtr import gelu_approximate
+        h = _gelu_kernel(h, gelu_approximate())
+        h = jnp.dot(h.astype(dt), f2k_ref[...],
+                    preferred_element_type=jnp.float32) + f2b_ref[...]
+        out = x + h
+        o_ref[...] = out.reshape(group, n, c).astype(o_ref.dtype)
 
     return kernel
 
@@ -212,9 +218,12 @@ def _make_kernel_int8(group: int, num_heads: int, head_dim: int,
 
 def _pick_group(b, n, c, hidden, itemsize):
     budget = 10 * 1024 * 1024
-    per_g = n * c * itemsize * 2 * 2          # x + out, double-buffered
+    # group-batched kernel: x(f32) + qkv(f32, 3C) + attn scratch(f32) +
+    # mlp hidden(f32) all live at [group*N, .], plus the bf16 in/out
+    # blocks double-buffered
+    per_g = (n * c * itemsize * 2 * 2
+             + n * (2 * c + 3 * c + c + hidden) * 4)
     fixed = (n * n * 4 * 3                    # mask + live score tiles
-             + n * (3 * c + hidden) * 4       # qkv + mlp activations (f32)
              + c * (4 * c + hidden) * itemsize * 2)  # resident weights
     group = max(1, (budget - fixed) // max(per_g, 1))
     group = int(min(group, 8, b))
@@ -314,7 +323,7 @@ def fused_block(x, params, mask: Optional[np.ndarray], num_heads: int,
         in_specs=in_specs,
         out_specs=x_spec,
         out_shape=jax.ShapeDtypeStruct((b, n, c), x.dtype),
-        scratch_shapes=[pltpu.VMEM((n, c), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((group * n, c), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
