@@ -21,6 +21,7 @@ import jax.numpy as jnp
 from mrn_tpu.models.attention import AttentionDecoder
 from mrn_tpu.models.common import TorchDense
 from mrn_tpu.models.lstm import BidirectionalLSTM
+from mrn_tpu.models.rcnn import RCNNExtractor
 from mrn_tpu.models.resnet import ResNetExtractor
 from mrn_tpu.models.svtr import SVTRExtractor
 from mrn_tpu.models.tps import TPSTransformer
@@ -36,7 +37,7 @@ def sequence_length(feature_extraction: str, img_w: int) -> int:
         return img_w // 4 - 1
     if feature_extraction == "SVTR":
         return img_w // 4
-    if feature_extraction == "ResNet":
+    if feature_extraction in ("ResNet", "RCNN"):
         return img_w // 4 + 1
     raise ValueError(feature_extraction)
 
@@ -45,7 +46,7 @@ class Extractor(nn.Module):
     """Trans -> Feat -> mean-over-H -> Seq  (Model_Extractor equivalent)."""
 
     transformation: str = "None"      # "None" | "TPS"
-    feature_extraction: str = "VGG"   # "VGG" | "ResNet" | "SVTR"
+    feature_extraction: str = "VGG"   # "VGG" | "ResNet" | "SVTR" | "RCNN"
     sequence_modeling: str = "BiLSTM"  # "None" | "BiLSTM"
     output_channel: int = 512
     hidden_size: int = 256
@@ -66,6 +67,9 @@ class Extractor(nn.Module):
         elif self.feature_extraction == "ResNet":
             feat = ResNetExtractor(self.output_channel, quant=self.quant,
                                    name="feature")(x, train)
+        elif self.feature_extraction == "RCNN":
+            feat = RCNNExtractor(self.output_channel, quant=self.quant,
+                                 name="feature")(x, train)
         elif self.feature_extraction == "SVTR":
             feat = SVTRExtractor(self.output_channel, self.img_size,
                                  quant=self.quant, name="feature")(x, train)
