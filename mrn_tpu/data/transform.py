@@ -18,7 +18,7 @@ import PIL
 import PIL.Image
 import PIL.ImageFilter
 
-__all__ = ["ResizeNormalize", "TextAugment", "build_transform"]
+__all__ = ["MoCoAugment", "ResizeNormalize", "TextAugment", "build_transform"]
 
 
 def _to_array(image: PIL.Image.Image) -> np.ndarray:
@@ -89,6 +89,54 @@ class TextAugment:
         for step in self.steps:
             image = step(image)
         return self.resize(image)
+
+
+class MoCoAugment:
+    """Two random views of one image as (query, key), normalized to [-1, 1]
+    (reference MoCo_augment, data/dataset.py:291-317 — MoCo v1's InstDisc
+    chain; unused by any reference config, kept for API parity).
+    torchvision-free: RandomResizedCrop / grayscale p=0.2 /
+    ColorJitter(.4,.4,.4,.4) / horizontal flip via PIL + numpy."""
+
+    def __init__(self, opt):
+        self.size = (opt.imgW, opt.imgH)
+
+    def _one_view(self, image: PIL.Image.Image) -> np.ndarray:
+        import PIL.ImageEnhance as E
+
+        width, height = image.size
+        # RandomResizedCrop(scale=(0.2, 1.0), default ratio (3/4, 4/3))
+        area = width * height
+        for _ in range(10):
+            target = area * random.uniform(0.2, 1.0)
+            ratio = np.exp(random.uniform(np.log(3 / 4), np.log(4 / 3)))
+            cw = int(round(np.sqrt(target * ratio)))
+            ch = int(round(np.sqrt(target / ratio)))
+            if 0 < cw <= width and 0 < ch <= height:
+                x0 = random.randint(0, width - cw)
+                y0 = random.randint(0, height - ch)
+                image = image.crop((x0, y0, x0 + cw, y0 + ch))
+                break
+        image = image.resize(self.size, PIL.Image.BICUBIC)
+        if random.random() < 0.2:  # RandomGrayscale
+            image = image.convert("L").convert(image.mode)
+        # ColorJitter(brightness, contrast, saturation, hue = 0.4)
+        for enhance in (E.Brightness, E.Contrast, E.Color):
+            image = enhance(image).enhance(random.uniform(0.6, 1.4))
+        hue = random.uniform(-0.4, 0.4)
+        if abs(hue) > 1e-3 and image.mode in ("RGB", "RGBA"):
+            alpha = image.getchannel("A") if image.mode == "RGBA" else None
+            h, s, v = image.convert("RGB").convert("HSV").split()
+            h = h.point(lambda px: (px + int(hue * 255)) % 256)
+            image = PIL.Image.merge("HSV", (h, s, v)).convert("RGB")
+            if alpha is not None:
+                image.putalpha(alpha)
+        if random.random() < 0.5:  # RandomHorizontalFlip
+            image = image.transpose(PIL.Image.FLIP_LEFT_RIGHT)
+        return _to_array(image)
+
+    def __call__(self, image):
+        return [self._one_view(image), self._one_view(image)]
 
 
 def build_transform(opt, mode: str = "train"):

@@ -18,8 +18,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["apply_reference_init", "grow_fc", "grow_fc_der", "weight_align",
-           "count_params"]
+__all__ = ["apply_reference_init", "grow_fc", "grow_fc_der", "reset_fc",
+           "weight_align", "count_params"]
 
 # leaf names that are torch-layout [out, in]-style weights (fan_in = shape[1])
 _TORCH_LAYOUT_WEIGHTS = ("w_ih", "w_hh", "char_embeddings")
@@ -113,6 +113,24 @@ def grow_fc_der(new_params, old_params, out_dim: int,
     new_fc["kernel"] = new_fc["kernel"].at[:old_in, :old_out].set(old_fc["kernel"])
     new_fc["bias"] = new_fc["bias"].at[:old_out].set(old_fc["bias"])
     return _set_path(new_params, path, new_fc)
+
+
+def reset_fc(params, rng: jax.Array, path: Tuple[str, ...] = ("fc",)):
+    """Re-initialize the classifier head in place of growing it — fresh
+    torch-default (kaiming_uniform a=sqrt(5)) kernel, U(+-1/sqrt(fan_in))
+    bias, same shape (reference Model.reset_class, modules/model.py:117-129;
+    never called by any reference code path, kept for API parity)."""
+    from mrn_tpu.utils.torch_init import torch_bias_default, torch_linear_default
+
+    fc = dict(_get_path(params, path))
+    k_rng, b_rng = jax.random.split(rng)
+    fan_in = fc["kernel"].shape[0]
+    fc["kernel"] = torch_linear_default(k_rng, fc["kernel"].shape,
+                                        fc["kernel"].dtype)
+    if "bias" in fc:
+        fc["bias"] = torch_bias_default(fan_in)(b_rng, fc["bias"].shape,
+                                                fc["bias"].dtype)
+    return _set_path(params, path, fc)
 
 
 def weight_align(params, increment: int, path: Tuple[str, ...] = ("fc",)):

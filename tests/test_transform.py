@@ -1,0 +1,42 @@
+"""MoCoAugment (reference data/dataset.py:291-317) and reset_fc
+(modules/model.py:117-129) — API-parity features unused by reference configs."""
+
+import random
+from types import SimpleNamespace
+
+import jax
+import numpy as np
+import PIL.Image
+
+from mrn_tpu.data.transform import MoCoAugment
+
+
+def test_moco_augment_two_normalized_views():
+    random.seed(0)
+    opt = SimpleNamespace(imgW=64, imgH=32)
+    aug = MoCoAugment(opt)
+    img = PIL.Image.fromarray(
+        np.random.default_rng(0).integers(0, 255, (48, 96, 4), np.uint8), "RGBA")
+    views = aug(img)
+    assert len(views) == 2
+    for v in views:
+        assert v.shape == (32, 64, 4) and v.dtype == np.float32
+        assert v.min() >= -1.0 - 1e-6 and v.max() <= 1.0 + 1e-6
+    # independent random views
+    assert not np.allclose(views[0], views[1])
+
+
+def test_reset_fc_reinitializes_head_only():
+    from mrn_tpu.models.surgery import reset_fc
+
+    params = {
+        "fc": {"kernel": np.zeros((8, 5), np.float32),
+               "bias": np.zeros((5,), np.float32)},
+        "other": {"kernel": np.ones((3, 3), np.float32)},
+    }
+    out = reset_fc(params, jax.random.PRNGKey(0))
+    assert out["fc"]["kernel"].shape == (8, 5)
+    assert not np.allclose(out["fc"]["kernel"], 0.0)
+    bound = 1.0 / np.sqrt(8)
+    assert np.all(np.abs(out["fc"]["bias"]) <= bound)
+    np.testing.assert_array_equal(out["other"]["kernel"], params["other"]["kernel"])
