@@ -58,3 +58,19 @@ def test_der_with_svtr_backbone(tmp_path):
     best, _ = run_tasks(learner, opt, source, 2, tmp_path)
     assert learner.n_experts == 2
     assert len(best) == 2
+
+
+def test_der_with_rcnn_backbone(tmp_path):
+    """GRCNN (RCNN/GRCL) through DER's vmapped extractor stack: the 5-step
+    gated recurrence with per-step BNs under nn.vmap."""
+    from mrn_tpu.train.learners.der import DER
+    opt = tiny_opt(il="der", memory="random", memory_num=8, num_iter=3,
+                   val_interval=3, lan_list=["T0", "T1"],
+                   Transformation="None", FeatureExtraction="RCNN",
+                   SequenceModeling="BiLSTM", Prediction="CTC",
+                   output_dir=str(tmp_path / "s"), data_log=str(tmp_path / "d.txt"))
+    source = make_source(opt)
+    learner = DER(opt)
+    best, _ = run_tasks(learner, opt, source, 2, tmp_path)
+    assert learner.n_experts == 2
+    assert len(best) == 2
