@@ -179,6 +179,56 @@ def _train_step_bench(batch_size=256):
           f"{dt * 10000 / 60:,.1f} min)", file=sys.stderr)
 
 
+def _mrn_serving_bench(batch_size=256, n_experts=6):
+    """Secondary: MRN 6-expert TF-routed eval throughput — the paper's
+    deployed configuration (modules/model.py:366-395): all experts forward
+    (vmapped), DM-Router scores, hard argmax expert pick per sample."""
+    import jax
+    from mrn_tpu.models.mrn import MRNNet
+
+    opt = default_options(Transformation="None", FeatureExtraction="VGG",
+                          SequenceModeling="BiLSTM", Prediction="CTC")
+    # MLT17-like cumulative class counts (BASELINE.md per-task classes)
+    counts = tuple(np.cumsum([1895, 325, 1620, 1124, 73, 112])[:n_experts]
+                   + 4)  # +4 specials
+    model = MRNNet(n_experts=n_experts, num_classes=int(counts[-1]),
+                   class_counts=tuple(int(c) for c in counts),
+                   prediction="CTC", transformation=opt.Transformation,
+                   feature_extraction=opt.FeatureExtraction,
+                   sequence_modeling=opt.SequenceModeling,
+                   output_channel=opt.output_channel,
+                   hidden_size=opt.hidden_size,
+                   img_size=(opt.imgH, opt.imgW))
+    rng = jax.random.PRNGKey(0)
+    image = jnp.zeros((batch_size, opt.imgH, opt.imgW, opt.input_channel),
+                      jnp.float32)
+    variables = model.init({"params": rng, "droppath": rng}, image,
+                           train=False)
+    variables = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x, variables)
+
+    @jax.jit
+    def infer(image, token):
+        out = model.apply(variables, (image + token).astype(jnp.bfloat16),
+                          train=False, is_train=False)
+        pred = jnp.argmax(out["logits"], axis=2).astype(jnp.int32)
+        return pred, (pred[0, 0] * 0).astype(image.dtype)
+
+    image = jax.device_put(image)
+    token = jnp.asarray(0.0, image.dtype)
+    for _ in range(3):
+        pred, token = infer(image, token)
+    jax.block_until_ready(pred)
+    t0 = time.perf_counter()
+    for _ in range(10):
+        pred, token = infer(image, token)
+    jax.block_until_ready(pred)
+    tput = batch_size * 10 / (time.perf_counter() - t0)
+    print(f"# MRN serving (6-expert CRNN, TF hard-route) bs{batch_size}: "
+          f"{tput:,.0f} crops/s", file=sys.stderr)
+
+
 def _gelu_serving_check(batch_size=512):
     """Serving-mode lever: tanh-approx GELU (exact erf costs ~20% of SVTR
     inference on the VPU).  Reports throughput + the max logit delta vs the
@@ -224,9 +274,20 @@ def main():
         print(f"# batch {bs}: {tput:,.0f} crops/s", file=sys.stderr)
         if tput > best:
             best, best_bs = tput, bs
-    # informational secondaries (stderr only), skipped if the headline sweep
-    # already consumed the time budget
-    if time.perf_counter() - t_start < 900:
+    # Print the parseable headline JSON IMMEDIATELY after the sweep, before
+    # any secondary benches — a driver timeout mid-secondaries must not void
+    # the round's official number (BENCH_r03 was rc=124/parsed=null because
+    # this line used to come last).
+    print(json.dumps({
+        "metric": f"svtr_infer_crops_per_sec_bs{best_bs}",
+        "value": round(best, 1),
+        "unit": "crops/s",
+        "vs_baseline": round(best / BASELINE_CROPS_PER_SEC, 3),
+    }), flush=True)
+    # informational secondaries (stderr only), each gated on the remaining
+    # time budget so a slow one can't starve the rest
+    SECONDARY_BUDGET_S = 900.0
+    if time.perf_counter() - t_start < SECONDARY_BUDGET_S:
         _CRNN = dict(Transformation="None", FeatureExtraction="VGG",
                      SequenceModeling="BiLSTM", Prediction="CTC")
         _TRBA = dict(Transformation="TPS", FeatureExtraction="ResNet",
@@ -263,20 +324,19 @@ def main():
              dict(batch_size=1024, int8=True)),
             ("SVTR int8+attn bs512", _svtr_int8_attn, (),
              dict(batch_size=512)),
+            ("MRN serving", _mrn_serving_bench, (), {}),
             ("train-step", _train_step_bench, (), {}),
         ]
         for label, fn, fargs, fkw in secondaries:
+            if time.perf_counter() - t_start > SECONDARY_BUDGET_S:
+                print(f"# secondary budget exhausted before {label}",
+                      file=sys.stderr)
+                break
             try:
                 fn(*fargs, **fkw)
             except Exception as e:
                 print(f"# secondary bench {label} failed: {e}",
                       file=sys.stderr)
-    print(json.dumps({
-        "metric": f"svtr_infer_crops_per_sec_bs{best_bs}",
-        "value": round(best, 1),
-        "unit": "crops/s",
-        "vs_baseline": round(best / BASELINE_CROPS_PER_SEC, 3),
-    }))
 
 
 if __name__ == "__main__":

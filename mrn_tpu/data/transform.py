@@ -101,6 +101,17 @@ class MoCoAugment:
     def __init__(self, opt):
         self.size = (opt.imgW, opt.imgH)
 
+    @staticmethod
+    def _grayscale(image: PIL.Image.Image) -> PIL.Image.Image:
+        """RandomGrayscale body; RGBA alpha preserved (convert('L') would
+        otherwise reset it to 255), mirroring the hue-branch handling."""
+        alpha = image.getchannel("A") if image.mode == "RGBA" else None
+        image = image.convert("L").convert(image.mode if alpha is None
+                                           else "RGBA")
+        if alpha is not None:
+            image.putalpha(alpha)
+        return image
+
     def _one_view(self, image: PIL.Image.Image) -> np.ndarray:
         import PIL.ImageEnhance as E
 
@@ -117,20 +128,43 @@ class MoCoAugment:
                 y0 = random.randint(0, height - ch)
                 image = image.crop((x0, y0, x0 + cw, y0 + ch))
                 break
+        else:
+            # torchvision fallback: ratio-clamped center crop
+            in_ratio = width / height
+            if in_ratio < 3 / 4:
+                cw, ch = width, min(height, int(round(width / (3 / 4))))
+            elif in_ratio > 4 / 3:
+                cw, ch = min(width, int(round(height * (4 / 3)))), height
+            else:
+                cw, ch = width, height
+            x0, y0 = (width - cw) // 2, (height - ch) // 2
+            image = image.crop((x0, y0, x0 + cw, y0 + ch))
         image = image.resize(self.size, PIL.Image.BICUBIC)
         if random.random() < 0.2:  # RandomGrayscale
-            image = image.convert("L").convert(image.mode)
-        # ColorJitter(brightness, contrast, saturation, hue = 0.4)
-        for enhance in (E.Brightness, E.Contrast, E.Color):
-            image = enhance(image).enhance(random.uniform(0.6, 1.4))
-        hue = random.uniform(-0.4, 0.4)
-        if abs(hue) > 1e-3 and image.mode in ("RGB", "RGBA"):
-            alpha = image.getchannel("A") if image.mode == "RGBA" else None
-            h, s, v = image.convert("RGB").convert("HSV").split()
-            h = h.point(lambda px: (px + int(hue * 255)) % 256)
-            image = PIL.Image.merge("HSV", (h, s, v)).convert("RGB")
-            if alpha is not None:
-                image.putalpha(alpha)
+            image = self._grayscale(image)
+
+        # ColorJitter(brightness, contrast, saturation, hue = 0.4) —
+        # torchvision applies the four ops in a random order per call
+        def _hue(img):
+            hue = random.uniform(-0.4, 0.4)
+            if abs(hue) > 1e-3 and img.mode in ("RGB", "RGBA"):
+                alpha = img.getchannel("A") if img.mode == "RGBA" else None
+                h, s, v = img.convert("RGB").convert("HSV").split()
+                h = h.point(lambda px: (px + int(hue * 255)) % 256)
+                img = PIL.Image.merge("HSV", (h, s, v)).convert("RGB")
+                if alpha is not None:
+                    img.putalpha(alpha)
+            return img
+
+        jitter_ops = [lambda im: E.Brightness(im).enhance(
+                          random.uniform(0.6, 1.4)),
+                      lambda im: E.Contrast(im).enhance(
+                          random.uniform(0.6, 1.4)),
+                      lambda im: E.Color(im).enhance(
+                          random.uniform(0.6, 1.4)),
+                      _hue]
+        for op in random.sample(jitter_ops, len(jitter_ops)):
+            image = op(image)
         if random.random() < 0.5:  # RandomHorizontalFlip
             image = image.transpose(PIL.Image.FLIP_LEFT_RIGHT)
         return _to_array(image)

@@ -115,11 +115,20 @@ def grow_fc_der(new_params, old_params, out_dim: int,
     return _set_path(new_params, path, new_fc)
 
 
-def reset_fc(params, rng: jax.Array, path: Tuple[str, ...] = ("fc",)):
+def reset_fc(params, rng: jax.Array, path: Tuple[str, ...] = ("fc",),
+             prediction_path: Tuple[str, ...] = None):
     """Re-initialize the classifier head in place of growing it — fresh
     torch-default (kaiming_uniform a=sqrt(5)) kernel, U(+-1/sqrt(fan_in))
     bias, same shape (reference Model.reset_class, modules/model.py:117-129;
-    never called by any reference code path, kept for API parity)."""
+    never called by any reference code path, kept for API parity).
+
+    The reference rebuilds the WHOLE prediction module — for Prediction='Attn'
+    that is the full decoder (char embeddings, attention cell, LSTM gates),
+    not just the shared generator fc.  Pass ``prediction_path`` (e.g.
+    ``('prediction',)``) to also re-initialize that subtree: Dense kernels get
+    torch linear defaults, ``char_embeddings`` N(0,1) (flax Embed/our
+    normal_init), and the LSTM-cell gate leaves U(+-1/sqrt(hidden)) — each
+    leaf's torch-default init, matching a fresh ``Attention(...)`` build."""
     from mrn_tpu.utils.torch_init import torch_bias_default, torch_linear_default
 
     fc = dict(_get_path(params, path))
@@ -130,7 +139,40 @@ def reset_fc(params, rng: jax.Array, path: Tuple[str, ...] = ("fc",)):
     if "bias" in fc:
         fc["bias"] = torch_bias_default(fan_in)(b_rng, fc["bias"].shape,
                                                 fc["bias"].dtype)
-    return _set_path(params, path, fc)
+    params = _set_path(params, path, fc)
+    if prediction_path is None:
+        return params
+
+    def _reinit_subtree(tree, key):
+        out = {}
+        for name, leaf in tree.items():
+            key, sub = jax.random.split(key)
+            if isinstance(leaf, dict):
+                if "kernel" in leaf:  # TorchDense
+                    new = dict(leaf)
+                    kk, bk = jax.random.split(sub)
+                    new["kernel"] = torch_linear_default(
+                        kk, leaf["kernel"].shape, leaf["kernel"].dtype)
+                    if "bias" in leaf:
+                        new["bias"] = torch_bias_default(
+                            leaf["kernel"].shape[0])(bk, leaf["bias"].shape,
+                                                     leaf["bias"].dtype)
+                    out[name] = new
+                else:
+                    out[name], key = _reinit_subtree(leaf, sub), key
+            elif name == "char_embeddings":
+                out[name] = jax.random.normal(sub, leaf.shape, leaf.dtype)
+            elif name.startswith(("w_", "b_")):  # LSTM-cell gates
+                hidden = leaf.shape[-1] if leaf.ndim > 1 else leaf.shape[0] // 4
+                bound = 1.0 / float(np.sqrt(hidden))
+                out[name] = jax.random.uniform(
+                    sub, leaf.shape, leaf.dtype, -bound, bound)
+            else:
+                out[name] = leaf
+        return out
+
+    pred = _reinit_subtree(dict(_get_path(params, prediction_path)), rng)
+    return _set_path(params, prediction_path, pred)
 
 
 def weight_align(params, increment: int, path: Tuple[str, ...] = ("fc",)):

@@ -24,6 +24,11 @@ common = dict(
     imgW=256,
     manual_seed=111,
     start_task=0,
+    # ORACLE_PIN=0 runs the reference-faithful mode (frozen experts' BN
+    # running stats drift during router training, il_modules/mrn.py:401);
+    # default 1 = the rebuild's pin-stats fix.  Used by the r1500 MRN pair
+    # to attribute the divergence (VERDICT r3 missing #2).
+    mrn_pin_expert_stats=os.environ.get("ORACLE_PIN", "1") == "1",
 )
 
 model = dict(

@@ -68,6 +68,7 @@ def _assert_trees_equal(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+@pytest.mark.slow  # ~45s on the 1-core CI host (VERDICT r3 weak #6)
 def test_base_bitwise_resume(tmp_path):
     opts = dict(num_iter=8, val_interval=2, full_ckpt=True, lan_list=["T0"])
     opt_a = tiny_opt(output_dir=str(tmp_path / "a"),
@@ -119,6 +120,7 @@ def test_mrn_router_bitwise_resume(tmp_path):
     _assert_trees_equal(sa, sb)
 
 
+@pytest.mark.slow  # ~85s on the 1-core CI host (VERDICT r3 weak #6)
 def test_ewc_fisher_recomputed_on_resume(tmp_path):
     """start_task resume rebuilds EWC's Fisher from the loaded checkpoint —
     the reference computes Fisher only at the _train tail (il_modules/

@@ -169,6 +169,7 @@ def test_joint_loader(tmp_path):
     assert len(best) >= 1
 
 
+@pytest.mark.slow  # ~100s on the 1-core CI host (VERDICT r3 weak #6)
 def test_der_mixed_mode_train_apply(tmp_path):
     """Reference model_eval_and_train (il_modules/der.py:38-43): during
     task>0 training the frozen experts forward in eval mode (running stats)

@@ -26,6 +26,51 @@ def test_moco_augment_two_normalized_views():
     assert not np.allclose(views[0], views[1])
 
 
+def test_moco_grayscale_preserves_alpha():
+    """The RandomGrayscale step must keep the RGBA alpha channel intact
+    (it used to be reset to 255 by convert('L').convert('RGBA'))."""
+    rgba = np.zeros((32, 64, 4), np.uint8)
+    rgba[..., 0] = 200
+    rgba[..., 1] = 50
+    rgba[..., 3] = 37  # distinctive alpha
+    img = PIL.Image.fromarray(rgba, "RGBA")
+    out = MoCoAugment._grayscale(img)
+    arr = np.asarray(out)
+    assert np.all(arr[..., 3] == 37)
+    # grayscale actually applied: R == G == B
+    assert np.all(arr[..., 0] == arr[..., 1])
+    assert np.all(arr[..., 1] == arr[..., 2])
+
+
+def test_reset_fc_attn_mode_reinitializes_decoder():
+    from mrn_tpu.models.surgery import reset_fc
+
+    params = {
+        "fc": {"kernel": np.zeros((8, 5), np.float32),
+               "bias": np.zeros((5,), np.float32)},
+        "prediction": {
+            "attention_cell": {
+                "i2h": {"kernel": np.zeros((8, 8), np.float32)},
+                "w_ih": np.zeros((32, 16), np.float32),
+                "b_hh": np.zeros((32,), np.float32),
+            },
+            "char_embeddings": np.zeros((5, 16), np.float32),
+        },
+        "other": {"kernel": np.ones((3, 3), np.float32)},
+    }
+    out = reset_fc(params, jax.random.PRNGKey(0),
+                   prediction_path=("prediction",))
+    cell = out["prediction"]["attention_cell"]
+    assert not np.allclose(cell["i2h"]["kernel"], 0.0)
+    assert not np.allclose(cell["w_ih"], 0.0)
+    assert not np.allclose(cell["b_hh"], 0.0)
+    assert not np.allclose(out["prediction"]["char_embeddings"], 0.0)
+    bound = 1.0 / np.sqrt(16)
+    assert np.all(np.abs(cell["w_ih"]) <= bound)
+    np.testing.assert_array_equal(out["other"]["kernel"],
+                                  params["other"]["kernel"])
+
+
 def test_reset_fc_reinitializes_head_only():
     from mrn_tpu.models.surgery import reset_fc
 
