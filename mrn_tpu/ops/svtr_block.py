@@ -67,20 +67,27 @@ def _gelu_kernel(x, approximate: bool):
 
 
 def _make_kernel(group: int, num_heads: int, head_dim: int, scale: float):
+    """bf16 fused block.  The caller pre-folds (host/XLA side, fused_block):
+    LN1 scale/shift + the attention q-scale into qkv kernel/bias, LN2
+    scale/shift into fc1 kernel/bias — the kernel runs BARE LayerNorms and
+    skips the per-element affine passes (VERDICT r4: epilogue folding).
+    Per image, all heads' scores collect into one [H*N, N] scratch so the
+    softmax runs ONCE per image (bigger VPU ops, H x fewer serial
+    max/exp/sum chains), normalized by reciprocal-multiply instead of
+    N divides per row."""
     c = num_heads * head_dim
 
-    def kernel(x_ref, n1s_ref, n1b_ref, qkvk_ref, qkvb_ref, pk_ref, pb_ref,
-               n2s_ref, n2b_ref, f1k_ref, f1b_ref, f2k_ref, f2b_ref,
-               mask_ref, o_ref, attn_scratch):
+    def kernel(x_ref, qkvk_ref, qkvb_ref, pk_ref, pb_ref,
+               f1k_ref, f1b_ref, f2k_ref, f2b_ref,
+               mask_ref, o_ref, attn_scratch, score_scratch):
         mask = mask_ref[...]
         n = x_ref.shape[1]
         dt = x_ref.dtype
 
-        def ln(x, s_ref, b_ref):
+        def ln_bare(x):
             mean = jnp.mean(x, axis=-1, keepdims=True)
             var = jnp.mean(x * x, axis=-1, keepdims=True) - mean * mean
-            y = (x - mean) * jax.lax.rsqrt(var + 1e-6)
-            return y * s_ref[...] + b_ref[...]
+            return (x - mean) * jax.lax.rsqrt(var + 1e-6)
 
         # Group-batched projections: the four matmuls and the VPU-heavy
         # LN/GELU run once over [group*N, .] instead of per image — the
@@ -89,32 +96,39 @@ def _make_kernel(group: int, num_heads: int, head_dim: int, scale: float):
         # (G, N, C) -> (G*N, C) reshape merges G into the sublane dim
         # (N % 8 == 0), so it is layout-free.
         x = x_ref[...].reshape(group * n, c).astype(jnp.float32)
-        h = ln(x, n1s_ref, n1b_ref)
+        h = ln_bare(x)
         qkv = jnp.dot(h.astype(dt), qkvk_ref[...],
                       preferred_element_type=jnp.float32) + qkvb_ref[...]
         for g in range(group):
             rows = slice(g * n, (g + 1) * n)
+            # phase 1: all heads' masked scores -> [H*N, N] scratch
             for hd in range(num_heads):
                 lo = hd * head_dim
-                q = qkv[rows, lo:lo + head_dim] * scale
+                q = qkv[rows, lo:lo + head_dim]          # scale pre-folded
                 k = qkv[rows, c + lo:c + lo + head_dim]
-                v = qkv[rows, 2 * c + lo:2 * c + lo + head_dim]
                 s = jax.lax.dot_general(
                     q.astype(dt), k.astype(dt),
                     (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)
-                s = s + mask
-                m = jnp.max(s, axis=-1, keepdims=True)
-                p = jnp.exp(s - m)
-                p = p / jnp.sum(p, axis=-1, keepdims=True)
-                o = jnp.dot(p.astype(dt), v.astype(dt),
+                score_scratch[pl.ds(hd * n, n), :] = s + mask
+            # phase 2: ONE softmax over every head of this image
+            sc = score_scratch[...]
+            m = jnp.max(sc, axis=-1, keepdims=True)
+            p = jnp.exp(sc - m)
+            p = p * (1.0 / jnp.sum(p, axis=-1, keepdims=True))
+            pbf = p.astype(dt)
+            # phase 3: all heads' PV
+            for hd in range(num_heads):
+                lo = hd * head_dim
+                v = qkv[rows, 2 * c + lo:2 * c + lo + head_dim]
+                o = jnp.dot(pbf[hd * n:(hd + 1) * n, :], v.astype(dt),
                             preferred_element_type=jnp.float32)
                 attn_scratch[rows, lo:lo + head_dim] = o.astype(
                     attn_scratch.dtype)
         attn = jnp.dot(attn_scratch[...].astype(dt), pk_ref[...],
                        preferred_element_type=jnp.float32) + pb_ref[...]
         x = x + attn
-        h = ln(x, n2s_ref, n2b_ref)
+        h = ln_bare(x)
         h = jnp.dot(h.astype(dt), f1k_ref[...],
                     preferred_element_type=jnp.float32) + f1b_ref[...]
         from mrn_tpu.models.svtr import gelu_approximate
@@ -216,14 +230,15 @@ def _make_kernel_int8(group: int, num_heads: int, head_dim: int,
     return kernel
 
 
-def _pick_group(b, n, c, hidden, itemsize):
+def _pick_group(b, n, c, hidden, itemsize, num_heads=1):
     budget = 10 * 1024 * 1024
     # group-batched kernel: x(f32) + qkv(f32, 3C) + attn scratch(f32) +
     # mlp hidden(f32) all live at [group*N, .], plus the bf16 in/out
     # blocks double-buffered
     per_g = (n * c * itemsize * 2 * 2
              + n * (2 * c + 3 * c + c + hidden) * 4)
-    fixed = (n * n * 4 * 3                    # mask + live score tiles
+    fixed = (n * n * 4 * 2                    # mask + live score tiles
+             + num_heads * n * n * 4          # per-image score scratch
              + c * (4 * c + hidden) * itemsize * 2)  # resident weights
     group = max(1, (budget - fixed) // max(per_g, 1))
     group = int(min(group, 8, b))
@@ -244,7 +259,8 @@ def fused_block(x, params, mask: Optional[np.ndarray], num_heads: int,
     head_dim = c // num_heads
     mask_arr = (np.zeros((n, n), np.float32) if mask is None
                 else np.asarray(mask, np.float32))
-    group = _pick_group(b, n, c, hidden, x.dtype.itemsize)
+    group = _pick_group(b, n, c, hidden, x.dtype.itemsize,
+                        num_heads=num_heads)
 
     def vec(name, rows=1):
         p = params[name]
@@ -306,12 +322,33 @@ def fused_block(x, params, mask: Optional[np.ndarray], num_heads: int,
             interpret=interpret,
         )(x, *weights, jnp.asarray(mask_arr), inv_arr)
 
+    # Epilogue folding (f32, traced outside the kernel — a [C, .] elementwise
+    # op per call, negligible): LN scale/shift and the attention q-scale move
+    # into the qkv/fc1 weights so the kernel runs bare LayerNorms:
+    #   LN(x)@W + b  ==  normalize(x) @ (s[:,None]*W) + (b + ln_bias@W)
+    def fold(kernel_name, bias_name, s_name, b_name, extra_scale=None):
+        w = params[kernel_name].astype(jnp.float32)
+        s = params[s_name].astype(jnp.float32)
+        lb = params[b_name].astype(jnp.float32)
+        wf = s[:, None] * w
+        bf = params[bias_name].astype(jnp.float32) + lb @ w
+        if extra_scale is not None:
+            wf = wf * extra_scale
+            bf = bf * extra_scale
+        return wf.astype(x.dtype), bf.reshape(1, -1)
+
+    # q-third of qkv additionally absorbs the attention scale
+    qscale = jnp.concatenate([jnp.full((c,), scale, jnp.float32),
+                              jnp.ones((2 * c,), jnp.float32)])
+    qkvk_f, qkvb_f = fold("qkv_kernel", "qkv_bias",
+                          "norm1_scale", "norm1_bias", extra_scale=qscale)
+    f1k_f, f1b_f = fold("fc1_kernel", "fc1_bias",
+                        "norm2_scale", "norm2_bias")
+
     weights = [
-        vec("norm1_scale"), vec("norm1_bias"),
-        params["qkv_kernel"], vec("qkv_bias"),
+        qkvk_f, qkvb_f,
         params["proj_kernel"], vec("proj_bias"),
-        vec("norm2_scale"), vec("norm2_bias"),
-        params["fc1_kernel"], vec("fc1_bias"),
+        f1k_f, f1b_f,
         params["fc2_kernel"], vec("fc2_bias"),
     ]
     in_specs = [x_spec] + [wspec(w.shape) for w in weights] + \
@@ -323,7 +360,8 @@ def fused_block(x, params, mask: Optional[np.ndarray], num_heads: int,
         in_specs=in_specs,
         out_specs=x_spec,
         out_shape=jax.ShapeDtypeStruct((b, n, c), x.dtype),
-        scratch_shapes=[pltpu.VMEM((group * n, c), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((group * n, c), jnp.float32),
+                        pltpu.VMEM((num_heads * n, n), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,

@@ -284,7 +284,10 @@ class BaseLearner:
             # would serialize the loop on a host<->device round-trip per
             # iteration (dispatch stays pipelined; syncing a 64-step-old loss
             # bounds the in-flight queue without stalling the pipeline)
-            pending_losses.append(metrics["loss"])
+            # learners may designate a component loss for the log (MRN's
+            # router phase logs the CLF part, matching the reference's
+            # Train_loss_clf, il_modules/mrn.py:420)
+            pending_losses.append(metrics.get("log_loss", metrics["loss"]))
             if len(pending_losses) > 64:
                 train_loss_avg.add(np.asarray(pending_losses.pop(0)))
             meter.tick(len(fetched[1]))

@@ -283,7 +283,8 @@ class MRN(BaseLearner):
         # reference (taski_criterion(output['index'], indexs), mrn.py:342/360)
         taski_loss = cross_entropy_dense(out["index"], batch["dataset_idx"])
         loss = PI * loss_clf + taski_loss
-        return loss, (new_stats, {"clf": loss_clf, "router": taski_loss})
+        return loss, (new_stats, {"clf": loss_clf, "router": taski_loss,
+                                  "log_loss": loss_clf})
 
     # ------------------------------------------------------------------- eval
 

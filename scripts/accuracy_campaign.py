@@ -181,8 +181,9 @@ def run_joint(opt, source, log):
 
 
 def run_strategy(il, args, source, memory_num, model_dims):
+    prefix = "" if args.arch == "crnn" else f"{args.arch}_"
     opt = default_options(
-        exp_name=f"acc_{il}", il=il,
+        exp_name=f"acc_{prefix}{il}", il=il,
         memory="random" if il in MEMORY_ILS else None,
         memory_num=memory_num,
         batch_size=args.batch_size, num_iter=args.num_iter,
@@ -196,7 +197,7 @@ def run_strategy(il, args, source, memory_num, model_dims):
         train_dtype="bf16" if args.bf16 else None,
         start_task=args.start_task, eval_from=args.eval_from,
         output_dir=os.path.join(args.out, "saved"),
-        data_log=os.path.join(args.out, f"data_{il}.txt"))
+        data_log=os.path.join(args.out, f"data_{prefix}{il}.txt"))
     opt.image_bank = source.device_bank()
     log = ExperimentLog(opt.exp_name, opt.output_dir, opt.data_log, echo=False)
 
@@ -227,7 +228,8 @@ def run_strategy(il, args, source, memory_num, model_dims):
         "avg_forgetting": forgetting,
         "stage_seconds": times, "total_seconds": round(time.time() - t0, 1),
     }
-    path = os.path.join(args.out, f"{il}.json")
+    result["arch"] = args.arch
+    path = os.path.join(args.out, f"{prefix}{il}.json")
     with open(path, "w", encoding="utf-8") as f:
         json.dump(result, f, indent=1)
     print(json.dumps({k: result[k] for k in
@@ -267,6 +269,11 @@ def main():
                          "task alphabet (the digits/punctuation analogue; "
                          "makes EWC/LwF retention measurable).  Use a "
                          "separate --out dir for overlap-suite runs")
+    ap.add_argument("--arch", default="crnn",
+                    choices=["crnn", "trba", "svtr"],
+                    help="recognizer architecture (reference config/"
+                         "{crnn,trba,svtr}_mrn.py stage strings); results "
+                         "land in <out>/<arch>_<il>.json for non-crnn")
     ap.add_argument("--bf16", action="store_true",
                     help="mixed-precision training (bf16 compute, f32 master "
                          "params/opt state/BN stats) — needed to fit DER's "
@@ -279,6 +286,13 @@ def main():
 
     global N_TRAIN, N_TEST
     model_dims = dict(output_channel=512, hidden_size=256)
+    if args.arch == "trba":   # reference config/trba_mrn.py:16-20
+        model_dims.update(Transformation="TPS", FeatureExtraction="ResNet",
+                          SequenceModeling="BiLSTM", Prediction="Attn",
+                          num_fiducial=20)
+    elif args.arch == "svtr":  # reference config/svtr_mrn.py:16-26
+        model_dims.update(Transformation="None", FeatureExtraction="SVTR",
+                          SequenceModeling="None", Prediction="CTC")
     memory_num = 2000                                  # reference crnn_mrn.py
     if args.smoke:
         model_dims = dict(output_channel=64, hidden_size=32)
@@ -303,7 +317,9 @@ def main():
           f"bank={source.bank.nbytes >> 20}MB on device)", flush=True)
 
     for il in ils:
-        if args.skip_done and os.path.exists(os.path.join(args.out, f"{il}.json")):
+        prefix = "" if args.arch == "crnn" else f"{args.arch}_"
+        if args.skip_done and os.path.exists(
+                os.path.join(args.out, f"{prefix}{il}.json")):
             print(f"== {il}: already done, skipping", flush=True)
             continue
         print(f"== {il}: starting at {time.strftime('%H:%M:%S')}", flush=True)

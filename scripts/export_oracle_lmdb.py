@@ -67,10 +67,14 @@ def main():
     ap.add_argument("--train_cap", type=int, default=1500)
     ap.add_argument("--test_cap", type=int, default=300)
     ap.add_argument("--tasks", type=int, default=6)
+    ap.add_argument("--shared", type=int, default=0,
+                    help="shared glyph slice size (the overlap suite, "
+                         "accuracy_campaign --shared); use a distinct --out")
     args = ap.parse_args()
 
     opt = default_options(imgH=32, imgW=256)
-    source = build_source(opt, seed=111, cache_dir="ACCURACY_RUNS")
+    source = build_source(opt, seed=111, cache_dir="ACCURACY_RUNS",
+                          shared=args.shared)
     lans = LANS[:args.tasks]
     rng = np.random.default_rng(7)
     export_split(source, "train", lans,

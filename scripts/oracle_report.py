@@ -21,7 +21,9 @@ RUNS = os.path.join(REPO, "oracle", "runs")
 ACC_ROW = re.compile(r"^(\d+) Avg Acc: ([\d.]+)", re.M)
 ACC_LIST = re.compile(r"acc: \[([^\]]*)\]")
 ALL_ACC = re.compile(r"ALL Average Acc: ([\d.]+)")
-LOSS = re.compile(r"\[(\d+)/(\d+)\] Train_loss: ([\d.nainf]+), "
+# MRN step-1 logs its classification loss as "Train_loss_clf" (the router CE
+# is logged separately); accept both so the mrn pairs get loss tables too.
+LOSS = re.compile(r"\[(\d+)/(\d+)\] Train_loss(?:_clf)?: ([\d.nainf]+), "
                   r"Valid_loss: ([\d.nainf]+)")
 
 
