@@ -10,6 +10,9 @@ _IL = os.environ.get("ORACLE_IL", "base")
 _TASKS = int(os.environ.get("ORACLE_TASKS", "3"))
 _ITER = int(os.environ.get("ORACLE_ITER", "300"))
 _TAG = os.environ.get("ORACLE_TAG", "r300")
+# "data" = disjoint-alphabet suite; "data_shared" = the overlap suite
+# (scripts/export_oracle_lmdb --shared 30), matching run_reference --data_root.
+_DATA = os.environ.get("ORACLE_DATA", "data")
 _HERE = os.path.dirname(os.path.abspath(__file__))
 
 common = dict(
@@ -23,7 +26,7 @@ common = dict(
     imgH=32,
     imgW=256,
     manual_seed=111,
-    start_task=0,
+    start_task=int(os.environ.get("ORACLE_START", "0")),
     # ORACLE_PIN=0 runs the reference-faithful mode (frozen experts' BN
     # running stats drift during router training, il_modules/mrn.py:401);
     # default 1 = the rebuild's pin-stats fix.  Used by the r1500 MRN pair
@@ -62,8 +65,8 @@ train = dict(
     workers=0,
     lan_list=["Chinese", "Latin", "Japanese", "Korean", "Arabic",
               "Bangla"][:_TASKS],
-    valid_datas=[os.path.join(_HERE, "data", "synth_test")],
-    select_data=[os.path.join(_HERE, "data", "synth_train")],
+    valid_datas=[os.path.join(_HERE, _DATA, "synth_test")],
+    select_data=[os.path.join(_HERE, _DATA, "synth_train")],
     batch_ratio="0.5-0.5",
     total_data_usage_ratio="1.0",
     NED=True,

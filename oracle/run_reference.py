@@ -26,13 +26,13 @@ REFERENCE = "/root/reference"
 
 
 def build_opt(args):
-    data_root = os.path.join(HERE, "data")
+    data_root = os.path.join(HERE, args.data_root)
     opt = dict(
         # common (reference config/crnn_mrn.py:1-11)
         exp_name=f"oracle_{args.il}", il=args.il,
         memory="random" if args.il in ("mrn", "der", "wa") else None,
         memory_num=args.memory_num, batch_max_length=25,
-        imgH=32, imgW=256, manual_seed=111, start_task=0,
+        imgH=32, imgW=256, manual_seed=111, start_task=args.start_task,
         # model — reduced dims (single CPU core); MATCH these on the JAX side
         model_name="CRNN", Transformation="None", FeatureExtraction="VGG",
         SequenceModeling="BiLSTM", Prediction="CTC",
@@ -66,6 +66,13 @@ def main():
     ap.add_argument("--memory_num", type=int, default=600)
     ap.add_argument("--tasks", type=int, default=6)
     ap.add_argument("--tag", default="r")
+    # Resume an interrupted run: tasks < start_task load their saved best
+    # checkpoints instead of training (reference il_modules/base.py:178-195;
+    # mrn.py:187-203 adds per-step granularity).
+    ap.add_argument("--start_task", type=int, default=0)
+    # "data" = the disjoint-alphabet suite; "data_shared" = the overlap
+    # suite (30 shared glyphs per task, scripts/export_oracle_lmdb --shared).
+    ap.add_argument("--data_root", default="data")
     args = ap.parse_args()
 
     # shims first, then the reference tree

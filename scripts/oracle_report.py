@@ -10,6 +10,7 @@ Discovers run pairs under oracle/runs/ by tag: <il>_<tag> (torch) vs
 jax_<il>_<tag> (JAX).
 """
 
+import difflib
 import os
 import re
 import sys
@@ -121,14 +122,22 @@ def main():
         lines.append("")
         tl, jl = parse_losses(t_log), parse_losses(j_log)
         if tl and jl:
+            # The two sides can log at different cadences (MRN's router step)
+            # or have resumed logs missing early tasks — align on matching
+            # [iter/total] label subsequences instead of zipping by index.
+            t_labels = [(it, tot) for it, tot, _, _ in tl]
+            j_labels = [(it, tot) for it, tot, _, _ in jl]
+            matcher = difflib.SequenceMatcher(None, t_labels, j_labels,
+                                              autojunk=False)
             lines.append("| val point | torch train loss | rebuild train loss "
                          "| torch valid loss | rebuild valid loss |")
             lines.append("|---|---|---|---|---|")
-            for k in range(min(len(tl), len(jl))):
-                ti, tt, ttr, tva = tl[k]
-                ji, jt, jtr, jva = jl[k]
-                lines.append(f"| [{ti}/{tt}] | {ttr:.3f} | {jtr:.3f} | "
-                             f"{tva:.3f} | {jva:.3f} |")
+            for a, b, size in matcher.get_matching_blocks():
+                for k in range(size):
+                    ti, tt, ttr, tva = tl[a + k]
+                    _, _, jtr, jva = jl[b + k]
+                    lines.append(f"| [{ti}/{tt}] | {ttr:.3f} | {jtr:.3f} | "
+                                 f"{tva:.3f} | {jva:.3f} |")
             lines.append("")
     out = os.path.join(REPO, "TRAJECTORY.md")
     with open(out, "w", encoding="utf-8") as f:
