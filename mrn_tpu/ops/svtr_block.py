@@ -19,6 +19,7 @@ mrn_tpu.ops.int8 for the calibration/quantization flow.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -43,19 +44,32 @@ _ERF_COEFS = (
     0.0014333085855469108, -0.0005751904682256281, 0.0007578228251077235,
     -0.0003343276330269873)
 
+# Degree-9 Remez minimax variant of the same P(u): |erf err| < 1.4e-4 in f32
+# Horner (dense-grid verified) — GELU abs err <= 0.5*|x|*erf_err < 3.5e-4,
+# an order below the bf16 cast applied to the MLP hidden right after (half
+# ULP at |h|=1 is 3.9e-3).  The ablation profile (ROUND4.md) put the exact
+# degree-15 GELU at 18% of SVTR inference runtime; 7 fewer Horner FMAs cut
+# that roughly in half with bit-identical bf16 outputs almost everywhere.
+# End-to-end parity vs the degree-15 path is measured on-chip (bench.py
+# gelu9 agreement check).
+_ERF9_COEFS = (
+    0.3821687211819126, -0.1906354404948208, 0.13926991905032793,
+    -0.10986806700502608, 0.102285918252448, -0.08351699887774686,
+    0.021168399249059538, -0.011215921240360423, 0.05439620276621701,
+    -0.03381804338264774)
 
-def _erf_poly(z):
-    """Transcendental-free minimax erf: |err| < 1.9e-7 over ALL f32 inputs
-    (dense-grid verified in tests/test_svtr_block.py) — the same
-    below-bf16-resolution accuracy as the Abramowitz-Stegun 7.1.26 rational
-    form this replaces, but as a pure FMA chain: no exp, no divide.  exp+div
-    made exact-erf GELU ~20% of fused-block runtime on the VPU (README
-    roofline).  Odd symmetry comes from the final z* multiply; |z| > 3.7
-    saturates via the clip (erfc(3.7) < 1.7e-7).  Pallas TPU has no erf
-    lowering of its own."""
+
+def _erf_poly(z, coefs=_ERF9_COEFS):
+    """Transcendental-free minimax erf — a pure FMA chain: no exp, no
+    divide (Pallas TPU has no erf lowering of its own).  Default degree 9
+    (|err| < 1.4e-4, below the bf16 cast noise downstream — see _ERF9_COEFS
+    note); pass _ERF_COEFS for the degree-15 reference variant (|err| <
+    1.9e-7 over ALL f32 inputs, dense-grid verified in
+    tests/test_svtr_block.py).  Odd symmetry comes from the final z*
+    multiply; |z| > 3.7 saturates via the clip (erfc(3.7) < 1.7e-7)."""
     u = (2.0 / _ERF_Z0SQ) * jnp.minimum(z * z, _ERF_Z0SQ) - 1.0
-    p = _ERF_COEFS[-1]
-    for c in _ERF_COEFS[-2::-1]:
+    p = coefs[-1]
+    for c in coefs[-2::-1]:
         p = p * u + c
     return jnp.clip(z * p, -1.0, 1.0)
 
@@ -63,7 +77,18 @@ def _erf_poly(z):
 def _gelu_kernel(x, approximate: bool):
     if approximate:
         return jax.nn.gelu(x, approximate=True)  # tanh form lowers fine
-    return 0.5 * x * (1.0 + _erf_poly(x * (2.0 ** -0.5)))
+    coefs = (_ERF_COEFS if os.environ.get("SVTR_GELU_DEG") == "15"
+             else _ERF9_COEFS)
+    return 0.5 * x * (1.0 + _erf_poly(x * (2.0 ** -0.5), coefs))
+
+
+# Ablation knob for attribution profiling (NOT a serving mode): with
+# SVTR_ABLATE set, the named phase of the bf16 kernel is replaced by a
+# near-free stand-in, so (baseline - ablated) end-to-end bench time
+# attributes that phase's true in-situ cost — per-op tracing is unavailable
+# through the tunnel and standalone module benches are floored by ~2.3 ms
+# dispatch latency.  Values: nogelu | nosoftmax | noln | noscores | nopv.
+_ABLATE = os.environ.get("SVTR_ABLATE", "")
 
 
 def _make_kernel(group: int, num_heads: int, head_dim: int, scale: float):
@@ -71,10 +96,20 @@ def _make_kernel(group: int, num_heads: int, head_dim: int, scale: float):
     LN1 scale/shift + the attention q-scale into qkv kernel/bias, LN2
     scale/shift into fc1 kernel/bias — the kernel runs BARE LayerNorms and
     skips the per-element affine passes (VERDICT r4: epilogue folding).
-    Per image, all heads' scores collect into one [H*N, N] scratch so the
-    softmax runs ONCE per image (bigger VPU ops, H x fewer serial
-    max/exp/sum chains), normalized by reciprocal-multiply instead of
-    N divides per row."""
+
+    Softmax runs WITHOUT VPU lane-reductions (the ablation profile put
+    softmax at 24% of end-to-end runtime, dominated by the max/sum
+    reductions over [H*N, N] rows): exp is fused into the score store
+    (no max-subtract — scores are clamped at 60, far above anything a
+    trained model produces, and f32 exp is exact-softmax-equivalent under
+    any finite clamp that no score reaches), the row-sum rides the PV
+    matmul on the MXU via a ones-column appended to V (the [N, head_dim]
+    output is lane-padded to 128 anyway, so the extra column is free), and
+    the normalize multiply lands on the [N, head_dim] PV output instead of
+    the N-times-larger score tensor.  Numerics: P is bf16 both before and
+    after this change; normalizing after the matmul divides by the sum of
+    the SAME bf16-rounded weights the numerator uses, so the result is an
+    exact convex combination."""
     c = num_heads * head_dim
 
     def kernel(x_ref, qkvk_ref, qkvb_ref, pk_ref, pb_ref,
@@ -85,6 +120,8 @@ def _make_kernel(group: int, num_heads: int, head_dim: int, scale: float):
         dt = x_ref.dtype
 
         def ln_bare(x):
+            if _ABLATE == "noln":
+                return x
             mean = jnp.mean(x, axis=-1, keepdims=True)
             var = jnp.mean(x * x, axis=-1, keepdims=True) - mean * mean
             return (x - mean) * jax.lax.rsqrt(var + 1e-6)
@@ -101,30 +138,45 @@ def _make_kernel(group: int, num_heads: int, head_dim: int, scale: float):
                       preferred_element_type=jnp.float32) + qkvb_ref[...]
         for g in range(group):
             rows = slice(g * n, (g + 1) * n)
-            # phase 1: all heads' masked scores -> [H*N, N] scratch
+            # phase 1: all heads' masked scores -> exp -> bf16 [H*N, N]
+            # scratch (exp fused into the store; no max-subtract, see
+            # docstring)
             for hd in range(num_heads):
                 lo = hd * head_dim
-                q = qkv[rows, lo:lo + head_dim]          # scale pre-folded
-                k = qkv[rows, c + lo:c + lo + head_dim]
-                s = jax.lax.dot_general(
-                    q.astype(dt), k.astype(dt),
-                    (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                score_scratch[pl.ds(hd * n, n), :] = s + mask
-            # phase 2: ONE softmax over every head of this image
-            sc = score_scratch[...]
-            m = jnp.max(sc, axis=-1, keepdims=True)
-            p = jnp.exp(sc - m)
-            p = p * (1.0 / jnp.sum(p, axis=-1, keepdims=True))
-            pbf = p.astype(dt)
-            # phase 3: all heads' PV
-            for hd in range(num_heads):
-                lo = hd * head_dim
-                v = qkv[rows, 2 * c + lo:2 * c + lo + head_dim]
-                o = jnp.dot(pbf[hd * n:(hd + 1) * n, :], v.astype(dt),
-                            preferred_element_type=jnp.float32)
-                attn_scratch[rows, lo:lo + head_dim] = o.astype(
+                if _ABLATE == "noscores":
+                    s = mask + jnp.zeros((n, n), jnp.float32)
+                else:
+                    q = qkv[rows, lo:lo + head_dim]      # scale pre-folded
+                    k = qkv[rows, c + lo:c + lo + head_dim]
+                    s = jax.lax.dot_general(
+                        q.astype(dt), k.astype(dt),
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32) + mask
+                if _ABLATE != "nosoftmax":
+                    s = jnp.exp(jnp.minimum(s, 60.0))
+                score_scratch[pl.ds(hd * n, n), :] = s.astype(dt)
+            # phase 2: all heads' PV; the softmax row-sum is the MXU
+            # ones-column, the normalize multiply is [N, head_dim]-sized
+            if _ABLATE == "nopv":
+                attn_scratch[rows, :] = qkv[rows, 2 * c:].astype(
                     attn_scratch.dtype)
+            else:
+                ones = jnp.ones((n, 1), dt)
+                for hd in range(num_heads):
+                    lo = hd * head_dim
+                    v = qkv[rows, 2 * c + lo:2 * c + lo + head_dim]
+                    v_ext = jnp.concatenate([v.astype(dt), ones], axis=1)
+                    o = jnp.dot(score_scratch[pl.ds(hd * n, n), :], v_ext,
+                                preferred_element_type=jnp.float32)
+                    if _ABLATE != "nosoftmax":
+                        # +1e-30 turns an all-underflowed row into zero
+                        # attention output instead of 0 * inf = NaN
+                        o = (o[:, :head_dim]
+                             * (1.0 / (o[:, head_dim:] + 1e-30)))
+                    else:
+                        o = o[:, :head_dim]
+                    attn_scratch[rows, lo:lo + head_dim] = o.astype(
+                        attn_scratch.dtype)
         attn = jnp.dot(attn_scratch[...].astype(dt), pk_ref[...],
                        preferred_element_type=jnp.float32) + pb_ref[...]
         x = x + attn
@@ -132,7 +184,8 @@ def _make_kernel(group: int, num_heads: int, head_dim: int, scale: float):
         h = jnp.dot(h.astype(dt), f1k_ref[...],
                     preferred_element_type=jnp.float32) + f1b_ref[...]
         from mrn_tpu.models.svtr import gelu_approximate
-        h = _gelu_kernel(h, gelu_approximate())
+        if _ABLATE != "nogelu":
+            h = _gelu_kernel(h, gelu_approximate())
         h = jnp.dot(h.astype(dt), f2k_ref[...],
                     preferred_element_type=jnp.float32) + f2b_ref[...]
         out = x + h
@@ -238,7 +291,7 @@ def _pick_group(b, n, c, hidden, itemsize, num_heads=1):
     per_g = (n * c * itemsize * 2 * 2
              + n * (2 * c + 3 * c + c + hidden) * 4)
     fixed = (n * n * 4 * 2                    # mask + live score tiles
-             + num_heads * n * n * 4          # per-image score scratch
+             + num_heads * n * n * itemsize   # per-image exp-score scratch
              + c * (4 * c + hidden) * itemsize * 2)  # resident weights
     group = max(1, (budget - fixed) // max(per_g, 1))
     group = int(min(group, 8, b))
@@ -361,7 +414,7 @@ def fused_block(x, params, mask: Optional[np.ndarray], num_heads: int,
         out_specs=x_spec,
         out_shape=jax.ShapeDtypeStruct((b, n, c), x.dtype),
         scratch_shapes=[pltpu.VMEM((group * n, c), jnp.float32),
-                        pltpu.VMEM((num_heads * n, n), jnp.float32)],
+                        pltpu.VMEM((num_heads * n, n), x.dtype)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,

@@ -17,7 +17,12 @@ def xla_impl():
 
 @pytest.mark.parametrize("mixer,heads,hw", [("Global", 2, (4, 8)),
                                             ("Local", 4, (4, 8))])
-def test_fused_block_matches_composed(rng, mixer, heads, hw):
+def test_fused_block_matches_composed(rng, mixer, heads, hw, monkeypatch):
+    """With the degree-15 erf selected, the fused kernel matches the
+    composed block to f32 noise — the only algorithmic deltas left are the
+    reduction-free softmax (exp without max-subtract + MXU ones-column
+    row-sum), which is exact-softmax-equivalent up to f32 rounding."""
+    monkeypatch.setenv("SVTR_GELU_DEG", "15")
     n = hw[0] * hw[1]
     c = 32
     block = Block(dim=c, num_heads=heads, mixer=mixer, hw=hw, drop_path=0.0)
@@ -31,6 +36,27 @@ def test_fused_block_matches_composed(rng, mixer, heads, hw):
                         interpret=True)
     np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
                                atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("mixer,heads,hw", [("Global", 2, (4, 8)),
+                                            ("Local", 4, (4, 8))])
+def test_fused_block_deg9_gelu_close(rng, mixer, heads, hw):
+    """The default (degree-9 erf) fused kernel stays within the documented
+    GELU error envelope of the composed exact-erf block — well inside the
+    bf16 cast noise the serving path applies anyway."""
+    n = hw[0] * hw[1]
+    c = 32
+    block = Block(dim=c, num_heads=heads, mixer=mixer, hw=hw, drop_path=0.0)
+    x = jnp.asarray(rng.normal(size=(3, n, c)).astype(np.float32))
+    variables = block.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    ref = block.apply(variables, x, train=False)
+
+    mask = local_attention_mask(*hw) if mixer == "Local" else None
+    scale = (c // heads) ** -0.5
+    fused = fused_block(x, variables["params"], mask, heads, scale,
+                        interpret=True)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
+                               atol=2e-3, rtol=2e-3)
 
 
 @pytest.mark.parametrize("mixer,heads,hw", [("Global", 2, (4, 8)),
@@ -180,27 +206,34 @@ def test_block_train_path_unchanged_by_param_restructure(rng):
 
 
 def test_erf_poly_accuracy_dense_grid():
-    """The kernel's transcendental-free minimax erf (degree-15 shifted-
-    monomial Horner, no exp/divide) stays below bf16 resolution against the
+    """Both transcendental-free minimax erf variants (shifted-monomial
+    Horner, no exp/divide) hold their documented error bounds against the
     f64 oracle over a dense full-range f32 grid, including the |z| > 3.7
-    saturation region and odd symmetry."""
+    saturation region and odd symmetry: degree 15 < 3e-7 (below bf16
+    resolution), degree 9 (the fused-kernel default) < 1.5e-4 (below the
+    bf16 cast noise of the MLP hidden it feeds)."""
     import math
 
-    from mrn_tpu.ops.svtr_block import _erf_poly, _gelu_kernel
+    from mrn_tpu.ops.svtr_block import (_ERF9_COEFS, _ERF_COEFS, _erf_poly,
+                                        _gelu_kernel)
 
     z = np.linspace(-30.0, 30.0, 400001).astype(np.float32)
     oracle = np.vectorize(math.erf)(z.astype(np.float64))
-    got = np.asarray(jax.jit(_erf_poly)(jnp.asarray(z)))
-    assert np.max(np.abs(got - oracle)) < 3e-7
-    # odd symmetry + exact saturation
-    np.testing.assert_array_equal(
-        np.asarray(jax.jit(_erf_poly)(jnp.asarray(-z))), -got)
-    assert got[0] == -1.0 and got[-1] == 1.0
+    for coefs, bound in ((_ERF_COEFS, 3e-7), (_ERF9_COEFS, 1.5e-4)):
+        got = np.asarray(jax.jit(
+            lambda v: _erf_poly(v, coefs))(jnp.asarray(z)))
+        assert np.max(np.abs(got - oracle)) < bound
+        # odd symmetry + exact saturation
+        np.testing.assert_array_equal(
+            np.asarray(jax.jit(
+                lambda v: _erf_poly(v, coefs))(jnp.asarray(-z))), -got)
+        assert got[0] == -1.0 and got[-1] == 1.0
 
-    # end-to-end through the GELU used by the fused kernel
+    # end-to-end through the GELU used by the fused kernel (deg-9 default:
+    # |gelu err| <= 0.5*|x|*erf_err inside the non-saturated band)
     x = np.linspace(-12.0, 12.0, 200001).astype(np.float32)
     gelu_oracle = 0.5 * x.astype(np.float64) * (
         1.0 + np.vectorize(math.erf)(x.astype(np.float64) / math.sqrt(2)))
     gelu_got = np.asarray(jax.jit(
         lambda v: _gelu_kernel(v, False))(jnp.asarray(x)))
-    assert np.max(np.abs(gelu_got - gelu_oracle)) < 4e-6
+    assert np.max(np.abs(gelu_got - gelu_oracle)) < 4e-4
