@@ -229,6 +229,43 @@ def _mrn_serving_bench(batch_size=256, n_experts=6):
           f"{tput:,.0f} crops/s", file=sys.stderr)
 
 
+def _gelu15_parity_check(batch_size=1024):
+    """Headline-integrity check: the default fused kernel runs the degree-9
+    minimax erf (|erf err| < 1.4e-4 — below the bf16 cast noise of the MLP
+    hidden); this measures the degree-15 reference path's throughput and the
+    argmax agreement between the two on one random batch.  Random init +
+    noise inputs produce near-tied logits, so agreement here UNDERSTATES
+    trained-model agreement; the trained-checkpoint word-accuracy delta is
+    measured by evaluate_cli (PARITY.md gelu9 row)."""
+    import os
+
+    import jax
+
+    infer9, image = build(batch_size)
+    rng_img = jax.random.normal(jax.random.PRNGKey(3), image.shape,
+                                jnp.float32)
+    token = jnp.asarray(0.0, rng_img.dtype)
+    pred9, _ = infer9(rng_img, token)
+    os.environ["SVTR_GELU_DEG"] = "15"
+    try:
+        infer15, _ = build(batch_size)
+        pred15, _ = infer15(rng_img, token)
+        agree = float(jnp.mean((pred9 == pred15).astype(jnp.float32)))
+        for _ in range(3):
+            pred, token = infer15(rng_img, token)
+        jax.block_until_ready(pred)
+        t0 = time.perf_counter()
+        for _ in range(10):
+            pred, token = infer15(rng_img, token)
+        jax.block_until_ready(pred)
+        tput = batch_size * 10 / (time.perf_counter() - t0)
+        print(f"# SVTR deg-15 erf bs{batch_size}: {tput:,.0f} crops/s "
+              f"(argmax agreement deg9 vs deg15 on noise: {agree:.4f})",
+              file=sys.stderr)
+    finally:
+        os.environ.pop("SVTR_GELU_DEG", None)
+
+
 def _gelu_serving_check(batch_size=512):
     """Serving-mode lever: tanh-approx GELU (exact erf costs ~20% of SVTR
     inference on the VPU).  Reports throughput + the max logit delta vs the
@@ -305,6 +342,7 @@ def main():
                 svtr_mod.set_attention_int8(False)
 
         secondaries = [
+            ("gelu15-parity", _gelu15_parity_check, (), {}),
             ("gelu-approx", _gelu_serving_check, (), {}),
             ("gelu-approx bs2048", _gelu_serving_check, (),
              dict(batch_size=2048)),
