@@ -143,6 +143,33 @@ def local_attention_mask(h: int, w: int, hk: int = 7, wk: int = 11) -> np.ndarra
     return np.where(cropped < 1.0, 0.0, -np.inf).astype(np.float32)
 
 
+def local_attention_mask_col_major(h: int, w: int, hk: int = 7,
+                                   wk: int = 11) -> np.ndarray:
+    """`local_attention_mask` with tokens in COLUMN-major order
+    (token = col*h + row).  On the text-shaped (short-h, long-w) SVTR grids
+    this turns the hk x wk window into a +/-((wk//2)*h + hk//2) band around
+    the diagonal — the fused inference kernel exploits it by computing only
+    a 128-lane-aligned key window per query block instead of all N keys
+    (mrn_tpu.ops.svtr_block banded path).  Pure reindexing of the row-major
+    mask: semantics are identical up to the token permutation the extractor
+    applies around stages 1-2."""
+    m = local_attention_mask(h, w, hk, wk)
+    perm = np.arange(h * w).reshape(h, w).T.reshape(-1)
+    return np.ascontiguousarray(m[np.ix_(perm, perm)])
+
+
+def _to_col_major(x, h: int, w: int):
+    """[B, h*w, C] row-major tokens -> column-major (token = col*h + row)."""
+    b, n, c = x.shape
+    return x.reshape(b, h, w, c).transpose(0, 2, 1, 3).reshape(b, n, c)
+
+
+def _to_row_major(x, h: int, w: int):
+    """Inverse of `_to_col_major` for an (h, w) grid."""
+    b, n, c = x.shape
+    return x.reshape(b, w, h, c).transpose(0, 2, 1, 3).reshape(b, n, c)
+
+
 class DropPath(nn.Module):
     rate: float
 
@@ -180,6 +207,11 @@ class Block(nn.Module):
     drop_path: float = 0.0
     local_k: Tuple[int, int] = (7, 11)
     quant: str = "none"  # w8a8 PTQ of the 4 projections (mrn_tpu.ops.int8)
+    # Tokens arrive column-major (the extractor permutes around stages 1-2):
+    # Local masks become diagonal bands, letting the fused kernel skip the
+    # masked-out key majority.  Global blocks are permutation-equivariant,
+    # so the flag only selects which (equivalent) mask ordering Local uses.
+    col_major: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -206,7 +238,9 @@ class Block(nn.Module):
         )
         mask = None
         if self.mixer == "Local":
-            mask = local_attention_mask(self.hw[0], self.hw[1], *self.local_k)
+            build = (local_attention_mask_col_major if self.col_major
+                     else local_attention_mask)
+            mask = build(self.hw[0], self.hw[1], *self.local_k)
 
         # ---- w8a8 PTQ plumbing (mrn_tpu.ops.int8): "calib" records the
         # per-projection input absmax; "int8" consumes int8 kernels + scales.
@@ -245,8 +279,11 @@ class Block(nn.Module):
                      and self.quant != "calib")
         if use_fused:
             from mrn_tpu.ops.svtr_block import fused_block
+            band = ((self.hw[0], self.hw[1], self.local_k[0],
+                     self.local_k[1])
+                    if (mask is not None and self.col_major) else None)
             return fused_block(x, params, mask, self.num_heads, scale,
-                               quant=qv)
+                               quant=qv, band=band)
 
         # ---- composed XLA path (training / non-TPU backends / calibration)
         b, n, _ = x.shape
@@ -336,16 +373,26 @@ class SVTRExtractor(nn.Module):
         x = x + pos
 
         d0, d1, d2 = self.depth
+        # Stages 1-2 run with COLUMN-major tokens: the Local 7x11 window
+        # becomes a narrow diagonal band (see local_attention_mask_col_major)
+        # that the fused kernel computes banded.  The permutes are exact
+        # (plain transposes around the un-ordered block stack); SubSampleConv
+        # needs the row-major (H, W) layout, so each stage un-permutes first.
+        x = _to_col_major(x, h0, w0)
         for i in range(d0):
             x = Block(self.embed_dim[0], self.num_heads[0], mixers[i], (h0, w0),
                       drop_path=float(dpr[i]), quant=self.quant,
-                      name=f"blocks1_{i}")(x, train)
+                      col_major=True, name=f"blocks1_{i}")(x, train)
+        x = _to_row_major(x, h0, w0)
         x = SubSampleConv(self.embed_dim[1], (h0, w0), name="sub_sample1")(x)
 
+        x = _to_col_major(x, h0 // 2, w0)
         for i in range(d1):
             x = Block(self.embed_dim[1], self.num_heads[1], mixers[d0 + i],
                       (h0 // 2, w0), drop_path=float(dpr[d0 + i]),
-                      quant=self.quant, name=f"blocks2_{i}")(x, train)
+                      quant=self.quant, col_major=True,
+                      name=f"blocks2_{i}")(x, train)
+        x = _to_row_major(x, h0 // 2, w0)
         x = SubSampleConv(self.embed_dim[2], (h0 // 2, w0), name="sub_sample2")(x)
 
         for i in range(d2):

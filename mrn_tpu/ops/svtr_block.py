@@ -91,7 +91,59 @@ def _gelu_kernel(x, approximate: bool):
 _ABLATE = os.environ.get("SVTR_ABLATE", "")
 
 
-def _make_kernel(group: int, num_heads: int, head_dim: int, scale: float):
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@functools.lru_cache(maxsize=None)
+def _band_spec(h: int, w: int, hk: int, wk: int):
+    """Banded-attention plan for a COLUMN-major Local mask (ROUND4.md design,
+    refined by the 128-lane padding analysis): with token = col*h + row the
+    hk x wk window lies inside a +/-bw band, bw = (wk//2)*h + hk//2.  Split
+    queries into blocks of ``qb`` rows; each block's visible keys fit in a
+    ``width``-key window (width = qb + 2*bw rounded up to the 128-lane MXU
+    tile, so no rounding is wasted), clipped into [0, N).  Per-block masks
+    carry the exact in-window Local pattern, so banded == full masked
+    attention (out-of-window entries are exp(-inf) = 0 in the full path).
+
+    Picks the LARGEST qb in {128, 64, 32} with width < N.  Measured bs2048
+    end-to-end (v5e, 2026-08): minimizing padded cost N*width instead picks
+    qb 32/width 128 for stage 1 — a 4x FLOP cut that is 13% SLOWER than
+    qb 64/width 256's 2x cut, because 32-row matmuls fragment the MXU
+    pipeline; qb 128 beats qb 64 by a further ~1%.  SVTR stages under this
+    rule: (8, 64) -> qb 128, width 256 (2x score/PV cut vs the full 512
+    keys); (4, 64) -> qb 64, width 128 (2x vs 256).
+    Returns (qb, width, starts, band_mask[N, width]) or None when banding
+    cannot beat the full path (window covers all keys)."""
+    from mrn_tpu.models.svtr import local_attention_mask_col_major
+
+    n = h * w
+    bw = (wk // 2) * h + hk // 2
+    min_qb = int(os.environ.get("SVTR_QB", "0"))  # A/B knob: force qb >= this
+    best = None
+    for qb in (128, 64, 32):
+        if n % qb or qb < min_qb:
+            continue
+        width = _round_up(qb + 2 * bw, 128)
+        if width >= n:
+            continue
+        best = (qb, width)
+        break  # qb descending: first hit is the largest viable qb
+    if best is None:
+        return None
+    qb, width = best
+    full = local_attention_mask_col_major(h, w, hk, wk)
+    starts = tuple(min(max(a * qb - (width - qb) // 2, 0), n - width)
+                   for a in range(n // qb))
+    band_mask = np.empty((n, width), np.float32)
+    for a, st in enumerate(starts):
+        band_mask[a * qb:(a + 1) * qb] = full[a * qb:(a + 1) * qb,
+                                              st:st + width]
+    return qb, width, starts, band_mask
+
+
+def _make_kernel(group: int, num_heads: int, head_dim: int, scale: float,
+                 band=None):
     """bf16 fused block.  The caller pre-folds (host/XLA side, fused_block):
     LN1 scale/shift + the attention q-scale into qkv kernel/bias, LN2
     scale/shift into fc1 kernel/bias — the kernel runs BARE LayerNorms and
@@ -109,7 +161,13 @@ def _make_kernel(group: int, num_heads: int, head_dim: int, scale: float):
     the N-times-larger score tensor.  Numerics: P is bf16 both before and
     after this change; normalizing after the matmul divides by the sum of
     the SAME bf16-rounded weights the numerator uses, so the result is an
-    exact convex combination."""
+    exact convex combination.
+
+    ``band`` (Local blocks on column-major tokens, see _band_spec): scores
+    and PV run per qb-row query block against a width-key window instead of
+    all N keys — identical math, since every key outside the window is
+    masked to exp(-inf) = 0 in the full path, and the ones-column row-sum
+    over the window equals the full row-sum."""
     c = num_heads * head_dim
 
     def kernel(x_ref, qkvk_ref, qkvb_ref, pk_ref, pb_ref,
@@ -136,47 +194,60 @@ def _make_kernel(group: int, num_heads: int, head_dim: int, scale: float):
         h = ln_bare(x)
         qkv = jnp.dot(h.astype(dt), qkvk_ref[...],
                       preferred_element_type=jnp.float32) + qkvb_ref[...]
+        qb, width, starts = (band if band is not None else (n, n, (0,)))
+        nq = n // qb
         for g in range(group):
             rows = slice(g * n, (g + 1) * n)
-            # phase 1: all heads' masked scores -> exp -> bf16 [H*N, N]
+            # phase 1: all heads' masked scores -> exp -> bf16 [H*N, W]
             # scratch (exp fused into the store; no max-subtract, see
-            # docstring)
+            # docstring).  Banded: per qb-query block against its width-key
+            # window (static slices — starts is a compile-time tuple).
             for hd in range(num_heads):
                 lo = hd * head_dim
-                if _ABLATE == "noscores":
-                    s = mask + jnp.zeros((n, n), jnp.float32)
-                else:
-                    q = qkv[rows, lo:lo + head_dim]      # scale pre-folded
-                    k = qkv[rows, c + lo:c + lo + head_dim]
-                    s = jax.lax.dot_general(
-                        q.astype(dt), k.astype(dt),
-                        (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32) + mask
-                if _ABLATE != "nosoftmax":
-                    s = jnp.exp(jnp.minimum(s, 60.0))
-                score_scratch[pl.ds(hd * n, n), :] = s.astype(dt)
+                for a in range(nq):
+                    qrows = slice(g * n + a * qb, g * n + (a + 1) * qb)
+                    krows = slice(g * n + starts[a],
+                                  g * n + starts[a] + width)
+                    m_blk = mask[a * qb:(a + 1) * qb, :]
+                    if _ABLATE == "noscores":
+                        s = m_blk + jnp.zeros((qb, width), jnp.float32)
+                    else:
+                        q = qkv[qrows, lo:lo + head_dim]  # scale pre-folded
+                        k = qkv[krows, c + lo:c + lo + head_dim]
+                        s = jax.lax.dot_general(
+                            q.astype(dt), k.astype(dt),
+                            (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) + m_blk
+                    if _ABLATE != "nosoftmax":
+                        s = jnp.exp(jnp.minimum(s, 60.0))
+                    score_scratch[pl.ds(hd * n + a * qb, qb), :] = s.astype(dt)
             # phase 2: all heads' PV; the softmax row-sum is the MXU
             # ones-column, the normalize multiply is [N, head_dim]-sized
             if _ABLATE == "nopv":
                 attn_scratch[rows, :] = qkv[rows, 2 * c:].astype(
                     attn_scratch.dtype)
             else:
-                ones = jnp.ones((n, 1), dt)
+                ones = jnp.ones((width, 1), dt)
                 for hd in range(num_heads):
                     lo = hd * head_dim
-                    v = qkv[rows, 2 * c + lo:2 * c + lo + head_dim]
-                    v_ext = jnp.concatenate([v.astype(dt), ones], axis=1)
-                    o = jnp.dot(score_scratch[pl.ds(hd * n, n), :], v_ext,
-                                preferred_element_type=jnp.float32)
-                    if _ABLATE != "nosoftmax":
-                        # +1e-30 turns an all-underflowed row into zero
-                        # attention output instead of 0 * inf = NaN
-                        o = (o[:, :head_dim]
-                             * (1.0 / (o[:, head_dim:] + 1e-30)))
-                    else:
-                        o = o[:, :head_dim]
-                    attn_scratch[rows, lo:lo + head_dim] = o.astype(
-                        attn_scratch.dtype)
+                    for a in range(nq):
+                        qrows = slice(g * n + a * qb, g * n + (a + 1) * qb)
+                        krows = slice(g * n + starts[a],
+                                      g * n + starts[a] + width)
+                        v = qkv[krows, 2 * c + lo:2 * c + lo + head_dim]
+                        v_ext = jnp.concatenate([v.astype(dt), ones], axis=1)
+                        o = jnp.dot(
+                            score_scratch[pl.ds(hd * n + a * qb, qb), :],
+                            v_ext, preferred_element_type=jnp.float32)
+                        if _ABLATE != "nosoftmax":
+                            # +1e-30 turns an all-underflowed row into zero
+                            # attention output instead of 0 * inf = NaN
+                            o = (o[:, :head_dim]
+                                 * (1.0 / (o[:, head_dim:] + 1e-30)))
+                        else:
+                            o = o[:, :head_dim]
+                        attn_scratch[qrows, lo:lo + head_dim] = o.astype(
+                            attn_scratch.dtype)
         attn = jnp.dot(attn_scratch[...].astype(dt), pk_ref[...],
                        preferred_element_type=jnp.float32) + pb_ref[...]
         x = x + attn
@@ -283,15 +354,16 @@ def _make_kernel_int8(group: int, num_heads: int, head_dim: int,
     return kernel
 
 
-def _pick_group(b, n, c, hidden, itemsize, num_heads=1):
+def _pick_group(b, n, c, hidden, itemsize, num_heads=1, score_w=None):
     budget = 10 * 1024 * 1024
+    score_w = n if score_w is None else score_w
     # group-batched kernel: x(f32) + qkv(f32, 3C) + attn scratch(f32) +
     # mlp hidden(f32) all live at [group*N, .], plus the bf16 in/out
     # blocks double-buffered
     per_g = (n * c * itemsize * 2 * 2
              + n * (2 * c + 3 * c + c + hidden) * 4)
-    fixed = (n * n * 4 * 2                    # mask + live score tiles
-             + num_heads * n * n * itemsize   # per-image exp-score scratch
+    fixed = (n * score_w * 4 * 2                    # mask + live score tiles
+             + num_heads * n * score_w * itemsize   # per-image exp scratch
              + c * (4 * c + hidden) * itemsize * 2)  # resident weights
     group = max(1, (budget - fixed) // max(per_g, 1))
     group = int(min(group, 8, b))
@@ -301,19 +373,29 @@ def _pick_group(b, n, c, hidden, itemsize, num_heads=1):
 
 
 def fused_block(x, params, mask: Optional[np.ndarray], num_heads: int,
-                scale: float, interpret: bool = False, quant=None):
+                scale: float, interpret: bool = False, quant=None,
+                band: Optional[tuple] = None):
     """x: [B, N, C]; params: the Block param dict; mask: [N, N] additive
     numpy array or None.  ``quant`` (optional): the Block's quant-collection
     dict {act_amax_<p>, w_scale_<p> for p in qkv/proj/fc1/fc2} — switches
     the four projections to the w8a8 int8-MXU path (params then hold int8
-    kernels, produced by ops.int8.quantize_variables)."""
+    kernels, produced by ops.int8.quantize_variables).  ``band`` (optional):
+    (h, w, hk, wk) geometry of a COLUMN-major Local mask — enables the
+    banded score/PV path (_band_spec) on the bf16 kernel; the int8 kernel
+    keeps the full mask (disable with SVTR_BAND=0 for A/B)."""
     b, n, c = x.shape
     hidden = params["fc1_kernel"].shape[1]
     head_dim = c // num_heads
     mask_arr = (np.zeros((n, n), np.float32) if mask is None
                 else np.asarray(mask, np.float32))
+    spec = None
+    if (band is not None and quant is None
+            and os.environ.get("SVTR_BAND", "1") != "0"
+            and band[0] * band[1] == n):
+        spec = _band_spec(*band)
+    score_w = spec[1] if spec is not None else n
     group = _pick_group(b, n, c, hidden, x.dtype.itemsize,
-                        num_heads=num_heads)
+                        num_heads=num_heads, score_w=score_w)
 
     def vec(name, rows=1):
         p = params[name]
@@ -398,6 +480,12 @@ def fused_block(x, params, mask: Optional[np.ndarray], num_heads: int,
     f1k_f, f1b_f = fold("fc1_kernel", "fc1_bias",
                         "norm2_scale", "norm2_bias")
 
+    kernel_band = None
+    if spec is not None:
+        qb, width, starts, band_mask = spec
+        kernel_band = (qb, width, starts)
+        mask_arr = band_mask
+
     weights = [
         qkvk_f, qkvb_f,
         params["proj_kernel"], vec("proj_bias"),
@@ -408,13 +496,13 @@ def fused_block(x, params, mask: Optional[np.ndarray], num_heads: int,
                [wspec(mask_arr.shape)]
 
     out = pl.pallas_call(
-        _make_kernel(group, num_heads, head_dim, scale),
+        _make_kernel(group, num_heads, head_dim, scale, band=kernel_band),
         grid=(b // group,),
         in_specs=in_specs,
         out_specs=x_spec,
         out_shape=jax.ShapeDtypeStruct((b, n, c), x.dtype),
         scratch_shapes=[pltpu.VMEM((group * n, c), jnp.float32),
-                        pltpu.VMEM((num_heads * n, n), x.dtype)],
+                        pltpu.VMEM((num_heads * n, score_w), x.dtype)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,

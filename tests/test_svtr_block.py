@@ -4,8 +4,9 @@ import numpy as np
 import pytest
 
 import mrn_tpu.models.svtr as svtr_mod
-from mrn_tpu.models.svtr import Block, local_attention_mask
-from mrn_tpu.ops.svtr_block import fused_block
+from mrn_tpu.models.svtr import (Block, local_attention_mask,
+                                 local_attention_mask_col_major)
+from mrn_tpu.ops.svtr_block import _band_spec, fused_block
 
 
 @pytest.fixture(autouse=True)
@@ -187,6 +188,117 @@ def test_fused_block_int8_attention(rng, mixer, heads, hw):
     f32 = block.apply(variables, x, train=False)
     err = np.abs(np.asarray(fused) - np.asarray(f32)).mean()
     assert err <= 0.15 * float(np.abs(np.asarray(f32)).mean())
+
+
+def test_col_major_mask_is_permuted_row_major():
+    """local_attention_mask_col_major == P M P^T for the col-major token
+    permutation, and every visible key lies within the +/-bw band the
+    banded kernel assumes (bw = (wk//2)*h + hk//2)."""
+    for h, w, hk, wk in ((8, 64, 7, 11), (4, 64, 7, 11), (4, 8, 3, 5)):
+        m = local_attention_mask(h, w, hk, wk)
+        cm = local_attention_mask_col_major(h, w, hk, wk)
+        perm = np.arange(h * w).reshape(h, w).T.reshape(-1)
+        np.testing.assert_array_equal(cm, m[np.ix_(perm, perm)])
+        bw = (wk // 2) * h + hk // 2
+        qi, ki = np.nonzero(cm == 0.0)
+        assert np.max(np.abs(qi - ki)) <= bw
+        # each query sees exactly its hk x wk (clipped) window
+        assert (cm == 0.0).sum() == (m == 0.0).sum()
+
+
+def test_band_spec_plans():
+    """The banded plan picks the largest-qb 128-lane-aligned windows (the
+    measured-fastest rule — see _band_spec) on the real SVTR stage shapes,
+    and every query block's window covers its whole visible band."""
+    for (h, w), want_qb, want_width in (((8, 64), 128, 256),
+                                        ((4, 64), 64, 128)):
+        qb, width, starts, band_mask = _band_spec(h, w, 7, 11)
+        n = h * w
+        assert (qb, width) == (want_qb, want_width)
+        assert band_mask.shape == (n, width)
+        full = local_attention_mask_col_major(h, w, 7, 11)
+        bw = (wk_half := 5) * h + 3
+        for a, st in enumerate(starts):
+            lo_need = max(0, a * qb - bw)
+            hi_need = min(n, (a + 1) * qb + bw)
+            assert st <= lo_need and st + width >= hi_need
+            np.testing.assert_array_equal(
+                band_mask[a * qb:(a + 1) * qb],
+                full[a * qb:(a + 1) * qb, st:st + width])
+        # banding drops no visible key: per-row zero counts match
+        assert (band_mask == 0.0).sum() == (full == 0.0).sum()
+    # tiny grids where the window would cover all keys -> no plan
+    assert _band_spec(4, 8, 7, 11) is None
+
+
+def test_fused_block_banded_matches_composed(rng, monkeypatch):
+    """The banded fused kernel == the composed block with the col-major
+    Local mask, at a shape where banding actually engages ((8, 32): qb 32,
+    width 128 < N 256)."""
+    monkeypatch.setenv("SVTR_GELU_DEG", "15")
+    hw, heads, c = (8, 32), 2, 32
+    n = hw[0] * hw[1]
+    assert _band_spec(*hw, 7, 11) is not None
+    block = Block(dim=c, num_heads=heads, mixer="Local", hw=hw,
+                  drop_path=0.0, col_major=True)
+    x = jnp.asarray(rng.normal(size=(2, n, c)).astype(np.float32))
+    variables = block.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    ref = block.apply(variables, x, train=False)
+
+    mask = local_attention_mask_col_major(*hw)
+    scale = (c // heads) ** -0.5
+    fused = fused_block(x, variables["params"], mask, heads, scale,
+                        interpret=True, band=(hw[0], hw[1], 7, 11))
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+    # and SVTR_BAND=0 (full-mask kernel) agrees too
+    monkeypatch.setenv("SVTR_BAND", "0")
+    full = fused_block(x, variables["params"], mask, heads, scale,
+                       interpret=True, band=(hw[0], hw[1], 7, 11))
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(full),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_svtr_extractor_col_major_reorder_is_transparent(rng):
+    """The stage-1/2 column-major permutes are exact: a col_major Local
+    Block on permuted tokens + unpermute equals the row-major Block on the
+    raw tokens with the SAME params (param trees are identical — the mask
+    is a constant, not a param), so checkpoints and downstream layers see
+    the same tensors as before the banded redesign."""
+    from mrn_tpu.models.svtr import SVTRExtractor, _to_col_major, \
+        _to_row_major
+
+    # round-trip identity of the permutes themselves
+    t = jnp.asarray(rng.normal(size=(2, 32, 5)).astype(np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(_to_row_major(_to_col_major(t, 4, 8), 4, 8)),
+        np.asarray(t))
+
+    # Block equivalence: permute -> col_major Block -> unpermute == Block
+    hw, heads, c = (4, 8), 2, 16
+    x = jnp.asarray(rng.normal(size=(2, hw[0] * hw[1], c))
+                    .astype(np.float32))
+    row_blk = Block(dim=c, num_heads=heads, mixer="Local", hw=hw,
+                    drop_path=0.0, col_major=False)
+    col_blk = Block(dim=c, num_heads=heads, mixer="Local", hw=hw,
+                    drop_path=0.0, col_major=True)
+    variables = row_blk.init({"params": jax.random.PRNGKey(0)}, x,
+                             train=False)
+    ref = row_blk.apply(variables, x, train=False)
+    got = _to_row_major(
+        col_blk.apply(variables, _to_col_major(x, *hw), train=False), *hw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+    # and the full extractor still composes (shape + finiteness)
+    img = jnp.asarray(rng.normal(size=(2, 32, 64, 3)).astype(np.float32))
+    ext = SVTRExtractor(out_channels=64, img_size=(32, 64),
+                        embed_dim=(16, 32, 64), depth=(1, 1, 1),
+                        num_heads=(2, 2, 2), drop_path_rate=0.0)
+    evars = ext.init({"params": jax.random.PRNGKey(0)}, img, train=False)
+    out = ext.apply(evars, img, train=False)
+    assert out.shape[1] == 1  # height collapsed
+    assert bool(jnp.isfinite(out).all())
 
 
 def test_block_train_path_unchanged_by_param_restructure(rng):
