@@ -87,7 +87,9 @@ def _gelu_kernel(x, approximate: bool):
 # near-free stand-in, so (baseline - ablated) end-to-end bench time
 # attributes that phase's true in-situ cost — per-op tracing is unavailable
 # through the tunnel and standalone module benches are floored by ~2.3 ms
-# dispatch latency.  Values: nogelu | nosoftmax | noln | noscores | nopv.
+# dispatch latency.  Values: nogelu | nosoftmax | noln | noscores | nopv |
+# noproj (the four C-dim projections — the share a w8a8 int8 path would
+# halve on the MXU).
 _ABLATE = os.environ.get("SVTR_ABLATE", "")
 
 
@@ -192,8 +194,13 @@ def _make_kernel(group: int, num_heads: int, head_dim: int, scale: float,
         # (N % 8 == 0), so it is layout-free.
         x = x_ref[...].reshape(group * n, c).astype(jnp.float32)
         h = ln_bare(x)
-        qkv = jnp.dot(h.astype(dt), qkvk_ref[...],
-                      preferred_element_type=jnp.float32) + qkvb_ref[...]
+        if _ABLATE == "noproj":
+            # zeros + bias: a lane-contiguous broadcast (a concatenate of h
+            # copies relayouts across lanes and costs MORE than the matmul)
+            qkv = jnp.zeros((group * n, 3 * c), jnp.float32) + qkvb_ref[...]
+        else:
+            qkv = jnp.dot(h.astype(dt), qkvk_ref[...],
+                          preferred_element_type=jnp.float32) + qkvb_ref[...]
         qb, width, starts = (band if band is not None else (n, n, (0,)))
         nq = n // qb
         for g in range(group):
@@ -248,17 +255,26 @@ def _make_kernel(group: int, num_heads: int, head_dim: int, scale: float,
                             o = o[:, :head_dim]
                         attn_scratch[qrows, lo:lo + head_dim] = o.astype(
                             attn_scratch.dtype)
-        attn = jnp.dot(attn_scratch[...].astype(dt), pk_ref[...],
-                       preferred_element_type=jnp.float32) + pb_ref[...]
+        if _ABLATE == "noproj":
+            attn = attn_scratch[...].astype(jnp.float32) + pb_ref[...]
+        else:
+            attn = jnp.dot(attn_scratch[...].astype(dt), pk_ref[...],
+                           preferred_element_type=jnp.float32) + pb_ref[...]
         x = x + attn
         h = ln_bare(x)
-        h = jnp.dot(h.astype(dt), f1k_ref[...],
-                    preferred_element_type=jnp.float32) + f1b_ref[...]
+        if _ABLATE == "noproj":
+            h = jnp.zeros((group * n, 4 * c), jnp.float32) + f1b_ref[...]
+        else:
+            h = jnp.dot(h.astype(dt), f1k_ref[...],
+                        preferred_element_type=jnp.float32) + f1b_ref[...]
         from mrn_tpu.models.svtr import gelu_approximate
         if _ABLATE != "nogelu":
             h = _gelu_kernel(h, gelu_approximate())
-        h = jnp.dot(h.astype(dt), f2k_ref[...],
-                    preferred_element_type=jnp.float32) + f2b_ref[...]
+        if _ABLATE == "noproj":
+            h = jnp.zeros((group * n, c), jnp.float32) + f2b_ref[...]
+        else:
+            h = jnp.dot(h.astype(dt), f2k_ref[...],
+                        preferred_element_type=jnp.float32) + f2b_ref[...]
         out = x + h
         o_ref[...] = out.reshape(group, n, c).astype(o_ref.dtype)
 
