@@ -150,6 +150,36 @@ def quantize_learner_int8(learner, opt, calib_loader, n_batches: int = 4):
     return learner
 
 
+def check_svtr_envelope(learner, opt, loader):
+    """One-time per-checkpoint calibration of the fused SVTR kernel's
+    reduction-free-softmax score clamp (ADVICE r4): measure max |attention
+    score| on one batch via the composed path and warn loudly if the loaded
+    checkpoint is outside the envelope (models.svtr.score_envelope)."""
+    import jax.numpy as jnp
+    from mrn_tpu.models.svtr import score_envelope
+    from mrn_tpu.ops.svtr_block import SCORE_CLAMP
+
+    if (opt.FeatureExtraction != "SVTR"
+            or getattr(learner, "eval_quant", None) is not None  # int8 path
+            or getattr(learner, "_envelope_checked", False)):
+        return
+    learner._envelope_checked = True
+    try:
+        images = next(iter(loader))[0]
+    except StopIteration:
+        return
+    variables = {"params": learner.params, "batch_stats": learner.batch_stats}
+    kw = {}
+    if opt.Prediction == "Attn":
+        kw = dict(text=jnp.full((len(images), 1),
+                                getattr(learner.converter, "sos_id", 0),
+                                jnp.int32), is_train=False)
+    mx = score_envelope(learner.model, variables,
+                        learner._device_images(images), train=False, **kw)
+    print(f"# svtr score envelope: max |score| {mx:.1f} "
+          f"(fused-kernel clamp {SCORE_CLAMP:g})")
+
+
 def benchmark_all_eval(learner, opt, last_task: int,
                        calculate_infer_time: bool = False,
                        log_multiple_test: bool = False,
@@ -194,6 +224,7 @@ def benchmark_all_eval(learner, opt, last_task: int,
         loader = EpochLoader(ds, eval_batch_size, transform, shuffle=False,
                              pad_to_batch=True,
                              rng=np.random.default_rng(opt.manual_seed))
+        check_svtr_envelope(learner, opt, loader)
         res = learner.run_validation(loader, choose)
 
         accuracy_list.append(f"{res.score:0.2f}")
@@ -266,6 +297,7 @@ def evaluate_tasks(learner, opt, eval_roots, last_task: int,
             eval_data_log = (
                 f"dataset_root:  {val_data}\t dataset: /\n"
                 f"sub-directory:\t/.\t num samples: {len(loader.dataset)}\n")
+            check_svtr_envelope(learner, opt, loader)
             res = learner.run_validation(loader, choose)
             scores.append(res.score)
             neds.append(res.ned or 0.0)

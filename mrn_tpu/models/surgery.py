@@ -132,7 +132,7 @@ def reset_fc(params, rng: jax.Array, path: Tuple[str, ...] = ("fc",),
     from mrn_tpu.utils.torch_init import torch_bias_default, torch_linear_default
 
     fc = dict(_get_path(params, path))
-    k_rng, b_rng = jax.random.split(rng)
+    k_rng, b_rng, pred_rng = jax.random.split(rng, 3)
     fan_in = fc["kernel"].shape[0]
     fc["kernel"] = torch_linear_default(k_rng, fc["kernel"].shape,
                                         fc["kernel"].dtype)
@@ -163,7 +163,11 @@ def reset_fc(params, rng: jax.Array, path: Tuple[str, ...] = ("fc",),
             elif name == "char_embeddings":
                 out[name] = jax.random.normal(sub, leaf.shape, leaf.dtype)
             elif name.startswith(("w_", "b_")):  # LSTM-cell gates
-                hidden = leaf.shape[-1] if leaf.ndim > 1 else leaf.shape[0] // 4
+                # Every gate leaf is [4H, ...] or [4H]; torch's nn.LSTMCell
+                # draws ALL gate weights from U(+-1/sqrt(hidden_size)) —
+                # including w_ih [4H, input_size], whose bound must NOT come
+                # from its input dim (attention.py:39-44, torch_lstm_default).
+                hidden = leaf.shape[0] // 4
                 bound = 1.0 / float(np.sqrt(hidden))
                 out[name] = jax.random.uniform(
                     sub, leaf.shape, leaf.dtype, -bound, bound)
@@ -171,7 +175,7 @@ def reset_fc(params, rng: jax.Array, path: Tuple[str, ...] = ("fc",),
                 out[name] = leaf
         return out
 
-    pred = _reinit_subtree(dict(_get_path(params, prediction_path)), rng)
+    pred = _reinit_subtree(dict(_get_path(params, prediction_path)), pred_rng)
     return _set_path(params, prediction_path, pred)
 
 

@@ -107,6 +107,34 @@ def _attention_core(q, k, v, mask):
     return xla_attention(q, k, v, mask)
 
 
+def score_envelope(module, variables, *args, **kwargs):
+    """Max |attention score| over a sample batch, measured on the composed
+    path (the fused kernel is bypassed while 'intermediates' is mutable).
+
+    One-time per-checkpoint calibration for the fused kernel's
+    reduction-free softmax (ops/svtr_block.SCORE_CLAMP): call on one
+    validation batch after loading a checkpoint; a return value at/above the
+    clamp means the fused kernel would silently flatten attention for that
+    checkpoint (ADVICE r4).  Returns the scalar max; emits a loud stderr
+    warning when out of envelope."""
+    import sys as _sys
+
+    from mrn_tpu.ops.svtr_block import SCORE_CLAMP
+
+    _, inter = module.apply(variables, *args,
+                            mutable=["intermediates"], **kwargs)
+    leaves = jax.tree_util.tree_leaves(inter.get("intermediates", inter))
+    if not leaves:
+        return 0.0
+    mx = float(max(float(jnp.max(l)) for l in leaves))
+    if mx >= SCORE_CLAMP:
+        print(f"*** SVTR score envelope VIOLATED: max |attention score| "
+              f"{mx:.1f} >= clamp {SCORE_CLAMP} — the fused inference kernel "
+              "would silently flatten attention for this checkpoint; use "
+              "SVTR_IMPL=xla or retrain ***", file=_sys.stderr, flush=True)
+    return mx
+
+
 def _kaiming_fan_in(key, shape, dtype=jnp.float32):
     # torch kaiming_normal_(mode='fan_in') on conv kernels.
     receptive = int(np.prod(shape[:-2])) if len(shape) > 2 else 1
@@ -276,7 +304,8 @@ class Block(nn.Module):
             return h @ kernel + bias
 
         use_fused = ((not train) and _impl_resolved() == "pallas"
-                     and self.quant != "calib")
+                     and self.quant != "calib"
+                     and not self.is_mutable_collection("intermediates"))
         if use_fused:
             from mrn_tpu.ops.svtr_block import fused_block
             band = ((self.hw[0], self.hw[1], self.local_k[0],
@@ -300,6 +329,15 @@ class Block(nn.Module):
             record_amax("q", q)
             record_amax("k", k)
             record_amax("v", v)
+        if self.is_mutable_collection("intermediates"):
+            # Score-envelope calibration (ADVICE r4): the fused kernel's
+            # reduction-free softmax clamps scores at SCORE_CLAMP=60 and
+            # assumes no real checkpoint reaches it; score_envelope() runs
+            # this path on a sample batch to validate that assumption per
+            # loaded checkpoint instead of trusting it silently.
+            s = jnp.einsum("bhnd,bhmd->bhnm", q, k)
+            self.sow("intermediates", "score_max", jnp.max(jnp.abs(s)),
+                     reduce_fn=jnp.maximum, init_fn=lambda: jnp.float32(0))
         attn = _attention_core(q, k, v, mask)  # [B, h, N, d]
         attn = jnp.transpose(attn, (0, 2, 1, 3)).reshape(b, n, c)
         attn = project("proj", attn, params["proj_kernel"],

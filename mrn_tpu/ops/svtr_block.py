@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import functools
 import os
+import sys
 from typing import Optional
 
 import jax
@@ -91,14 +92,33 @@ def _gelu_kernel(x, approximate: bool):
 # noproj (the four C-dim projections — the share a w8a8 int8 path would
 # halve on the MXU).
 _ABLATE = os.environ.get("SVTR_ABLATE", "")
+if _ABLATE:
+    # A stray SVTR_ABLATE silently corrupts every accuracy/eval run in the
+    # process — make it impossible to miss (ADVICE r4).
+    print(f"*** SVTR_ABLATE={_ABLATE!r}: fused SVTR kernel phases replaced "
+          "by stand-ins — PROFILING MODE, results are numerically wrong ***",
+          file=sys.stderr, flush=True)
+
+
+# Reduction-free-softmax score clamp: exp is computed without the
+# max-subtract, relying on every real checkpoint's scores staying below this.
+# Validate per checkpoint with models.svtr.score_envelope (ADVICE r4).
+SCORE_CLAMP = 60.0
 
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-@functools.lru_cache(maxsize=None)
 def _band_spec(h: int, w: int, hk: int, wk: int):
+    """SVTR_QB-aware wrapper: the env knob is part of the cache key, so
+    changing it mid-process cannot serve a stale plan (ADVICE r4)."""
+    return _band_spec_impl(h, w, hk, wk,
+                           int(os.environ.get("SVTR_QB", "0")))
+
+
+@functools.lru_cache(maxsize=None)
+def _band_spec_impl(h: int, w: int, hk: int, wk: int, min_qb: int):
     """Banded-attention plan for a COLUMN-major Local mask (ROUND4.md design,
     refined by the 128-lane padding analysis): with token = col*h + row the
     hk x wk window lies inside a +/-bw band, bw = (wk//2)*h + hk//2.  Split
@@ -121,7 +141,6 @@ def _band_spec(h: int, w: int, hk: int, wk: int):
 
     n = h * w
     bw = (wk // 2) * h + hk // 2
-    min_qb = int(os.environ.get("SVTR_QB", "0"))  # A/B knob: force qb >= this
     best = None
     for qb in (128, 64, 32):
         if n % qb or qb < min_qb:
@@ -226,7 +245,7 @@ def _make_kernel(group: int, num_heads: int, head_dim: int, scale: float,
                             (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) + m_blk
                     if _ABLATE != "nosoftmax":
-                        s = jnp.exp(jnp.minimum(s, 60.0))
+                        s = jnp.exp(jnp.minimum(s, SCORE_CLAMP))
                     score_scratch[pl.ds(hd * n + a * qb, qb), :] = s.astype(dt)
             # phase 2: all heads' PV; the softmax row-sum is the MXU
             # ones-column, the normalize multiply is [N, head_dim]-sized

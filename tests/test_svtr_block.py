@@ -349,3 +349,45 @@ def test_erf_poly_accuracy_dense_grid():
     gelu_got = np.asarray(jax.jit(
         lambda v: _gelu_kernel(v, False))(jnp.asarray(x)))
     assert np.max(np.abs(gelu_got - gelu_oracle)) < 4e-4
+
+
+def test_score_envelope_calibration(rng):
+    """score_envelope (ADVICE r4): measures max |attention score| on the
+    composed path via sown intermediates — a per-checkpoint validation that
+    the fused kernel's reduction-free-softmax clamp (SCORE_CLAMP=60) is
+    never reached.  Scaling the qkv kernel must scale the reported
+    envelope, and a normal init must sit far below the clamp."""
+    from mrn_tpu.models.svtr import score_envelope
+    from mrn_tpu.ops.svtr_block import SCORE_CLAMP
+
+    c, hw = 32, (4, 8)
+    n = hw[0] * hw[1]
+    block = Block(dim=c, num_heads=2, mixer="Global", hw=hw, drop_path=0.0)
+    x = jnp.asarray(rng.normal(size=(2, n, c)).astype(np.float32))
+    variables = block.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    mx = score_envelope(block, variables, x, train=False)
+    assert 0.0 < mx < SCORE_CLAMP
+
+    # inflate qkv 30x -> scores grow ~900x; the helper must report it (and
+    # warn when past the clamp) instead of silently flattening attention
+    import jax as _jax
+    big = _jax.tree_util.tree_map(lambda l: l, variables)
+    params = dict(big["params"])
+    params["qkv_kernel"] = params["qkv_kernel"] * 30.0
+    mx_big = score_envelope(block, {**big, "params": params}, x, train=False)
+    assert mx_big > mx * 100
+
+
+def test_band_spec_env_knob_not_cached_stale(monkeypatch):
+    """SVTR_QB participates in _band_spec's cache key (ADVICE r4): changing
+    the env mid-process must produce the new plan, not a stale cached one."""
+    monkeypatch.delenv("SVTR_QB", raising=False)
+    spec_default = _band_spec(8, 64, 7, 11)
+    assert spec_default is not None and spec_default[0] == 128
+    # min_qb above every candidate: banding must be disabled NOW, not
+    # whenever the lru_cache happens to miss
+    monkeypatch.setenv("SVTR_QB", "256")
+    assert _band_spec(8, 64, 7, 11) is None
+    monkeypatch.delenv("SVTR_QB", raising=False)
+    spec_back = _band_spec(8, 64, 7, 11)
+    assert spec_back is not None and spec_back[0] == 128

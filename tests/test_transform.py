@@ -65,8 +65,12 @@ def test_reset_fc_attn_mode_reinitializes_decoder():
     assert not np.allclose(cell["w_ih"], 0.0)
     assert not np.allclose(cell["b_hh"], 0.0)
     assert not np.allclose(out["prediction"]["char_embeddings"], 0.0)
-    bound = 1.0 / np.sqrt(16)
+    # torch LSTMCell default: ALL gate leaves U(+-1/sqrt(hidden)); here
+    # w_ih is [4H=32, in=16] so hidden=8 — NOT the input dim 16.
+    bound = 1.0 / np.sqrt(8)
     assert np.all(np.abs(cell["w_ih"]) <= bound)
+    # and it should actually use that full range, not a tighter wrong bound
+    assert np.max(np.abs(cell["w_ih"])) > 1.0 / np.sqrt(16)
     np.testing.assert_array_equal(out["other"]["kernel"],
                                   params["other"]["kernel"])
 
