@@ -1,7 +1,11 @@
 """Headline benchmark: SVTR inference throughput (32x256 crops/sec/chip).
 
 Target (BASELINE.md north star): >= 10,000 crops/sec/chip on TPU v5e.
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints the headline as ONE JSON line {"metric", "value", "unit",
+"vs_baseline"} IMMEDIATELY after the batch sweep, then one JSON line per
+secondary AS IT COMPLETES ({"secondary", "value", "unit", ...}) — a driver
+timeout mid-secondaries voids only the rows not yet printed (VERDICT r4 #6:
+BENCH_r04's single 900s budget died before the CRNN/TRBA/int8 rows).
 
 Runs the flagship SVTR recognizer (None+SVTR+None+CTC, output_channel 512,
 ~4.5k-class head) in bfloat16 eval mode, sweeping batch sizes and reporting
@@ -46,6 +50,15 @@ BASELINE_CROPS_PER_SEC = 10000.0
 NUM_CLASSES = 4500
 
 
+def _emit(label, value, unit, **extra):
+    """Human line on stderr + machine-parseable line on stdout, flushed
+    immediately so every completed row survives a driver timeout."""
+    print(f"# {label}: {value:,.1f} {unit}"
+          + (f" {extra}" if extra else ""), file=sys.stderr, flush=True)
+    print(json.dumps(dict({"secondary": label, "value": round(value, 1),
+                           "unit": unit}, **extra)), flush=True)
+
+
 def build(batch_size: int, dtype=jnp.bfloat16):
     opt = default_options(Transformation="None", FeatureExtraction="SVTR",
                           SequenceModeling="None", Prediction="CTC")
@@ -87,10 +100,9 @@ def measure(batch_size: int, warmup: int = 3, iters: int = 20) -> float:
 
 
 def _secondary_arch(name, overrides, batch_size=256, int8=False):
-    """Secondary (stderr) numbers: CRNN / TRBA inference throughput.
-    ``int8``: post-training w8a8 conv path (mrn_tpu.ops.int8) — the ~2x MXU
-    lever on the compute-bound TRBA ResNet."""
-    import jax
+    """CRNN / TRBA / SVTR inference throughput rows.  ``int8``: post-training
+    w8a8 conv/projection path (mrn_tpu.ops.int8) — the ~2x MXU lever on the
+    compute-bound TRBA ResNet."""
     opt = default_options(**overrides)
     model = build_recognizer(opt, NUM_CLASSES)
     rng = jax.random.PRNGKey(0)
@@ -123,7 +135,7 @@ def _secondary_arch(name, overrides, batch_size=256, int8=False):
 
     image = jax.device_put(image)
     token = jnp.asarray(0.0, image.dtype)
-    for _ in range(3):
+    for _ in range(2):
         pred, token = infer(image, token)
     jax.block_until_ready(pred)
     t0 = time.perf_counter()
@@ -131,42 +143,53 @@ def _secondary_arch(name, overrides, batch_size=256, int8=False):
         pred, token = infer(image, token)
     jax.block_until_ready(pred)
     tput = batch_size * 10 / (time.perf_counter() - t0)
-    print(f"# {name} infer bs{batch_size}: {tput:,.0f} crops/s", file=sys.stderr)
+    _emit(f"{name} infer bs{batch_size}", tput, "crops/s")
 
 
-def _train_step_bench(batch_size=256):
-    """Secondary: full CRNN train-step throughput (fwd+CTC+bwd+clip+Adam)."""
-    import jax
+def _train_step_bench(arch="CRNN", batch_size=256, dtype=None,
+                      overrides=None):
+    """Full train-step rows (fwd+CTC+bwd+clip+Adam).  The SVTR bf16 row is
+    the VERDICT r4 #2 target metric: the round-5 training path runs banded
+    local attention + banded XLA backward + degree-15 erf-poly GELU."""
     import optax
     from mrn_tpu.ops.ctc import ctc_loss
     from mrn_tpu.ops.schedules import onecycle_schedule
 
-    opt = default_options(Transformation="None", FeatureExtraction="VGG",
-                          SequenceModeling="BiLSTM", Prediction="CTC")
+    overrides = overrides or dict(
+        Transformation="None", FeatureExtraction="VGG",
+        SequenceModeling="BiLSTM", Prediction="CTC")
+    opt = default_options(**overrides)
     model = build_recognizer(opt, NUM_CLASSES)
     rng = jax.random.PRNGKey(0)
     image = jnp.zeros((batch_size, opt.imgH, opt.imgW, opt.input_channel),
                       jnp.float32)
     variables = model.init({"params": rng, "droppath": rng}, image, train=False)
     params, stats = variables["params"], variables.get("batch_stats", {})
+    if dtype is not None:
+        params = jax.tree_util.tree_map(
+            lambda x: x.astype(dtype)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, params)
     tx = optax.chain(optax.clip_by_global_norm(5.0),
                      optax.adam(onecycle_schedule(5e-4, 10000)))
     opt_state = tx.init(params)
     label = jnp.ones((batch_size, 25), jnp.int32)
     length = jnp.full((batch_size,), 5, jnp.int32)
+    cast = (lambda x: x.astype(dtype)) if dtype is not None else (lambda x: x)
 
     @jax.jit
     def step(params, stats, opt_state, image):
         def loss_fn(p):
-            out, mut = model.apply({"params": p, "batch_stats": stats}, image,
+            out, mut = model.apply({"params": p, "batch_stats": stats},
+                                   cast(image),
                                    train=True, mutable=["batch_stats"],
                                    rngs={"droppath": rng})
-            return ctc_loss(out["predict"], label, length), mut["batch_stats"]
+            return (ctc_loss(out["predict"].astype(jnp.float32), label,
+                             length), mut["batch_stats"])
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), new_stats, opt_state, loss
 
-    for _ in range(3):
+    for _ in range(2):
         params, stats, opt_state, loss = step(params, stats, opt_state, image)
         jax.block_until_ready(loss)
     t0 = time.perf_counter()
@@ -174,16 +197,15 @@ def _train_step_bench(batch_size=256):
         params, stats, opt_state, loss = step(params, stats, opt_state, image)
     jax.block_until_ready(loss)
     dt = (time.perf_counter() - t0) / 10
-    print(f"# CRNN train step bs{batch_size}: {dt * 1000:,.1f} ms "
-          f"({batch_size / dt:,.0f} imgs/s, 10k iters in "
-          f"{dt * 10000 / 60:,.1f} min)", file=sys.stderr)
+    tag = "bf16" if dtype == jnp.bfloat16 else "f32"
+    _emit(f"{arch} train step bs{batch_size} {tag}", dt * 1000, "ms",
+          imgs_per_s=round(batch_size / dt, 1))
 
 
 def _mrn_serving_bench(batch_size=256, n_experts=6):
-    """Secondary: MRN 6-expert TF-routed eval throughput — the paper's
-    deployed configuration (modules/model.py:366-395): all experts forward
-    (vmapped), DM-Router scores, hard argmax expert pick per sample."""
-    import jax
+    """MRN 6-expert TF-routed eval throughput — the paper's deployed
+    configuration (modules/model.py:366-395): all experts forward (vmapped),
+    DM-Router scores, hard argmax expert pick per sample."""
     from mrn_tpu.models.mrn import MRNNet
 
     opt = default_options(Transformation="None", FeatureExtraction="VGG",
@@ -217,7 +239,7 @@ def _mrn_serving_bench(batch_size=256, n_experts=6):
 
     image = jax.device_put(image)
     token = jnp.asarray(0.0, image.dtype)
-    for _ in range(3):
+    for _ in range(2):
         pred, token = infer(image, token)
     jax.block_until_ready(pred)
     t0 = time.perf_counter()
@@ -225,8 +247,7 @@ def _mrn_serving_bench(batch_size=256, n_experts=6):
         pred, token = infer(image, token)
     jax.block_until_ready(pred)
     tput = batch_size * 10 / (time.perf_counter() - t0)
-    print(f"# MRN serving (6-expert CRNN, TF hard-route) bs{batch_size}: "
-          f"{tput:,.0f} crops/s", file=sys.stderr)
+    _emit(f"MRN serving 6-expert CRNN TF bs{batch_size}", tput, "crops/s")
 
 
 def _gelu15_parity_check(batch_size=1024):
@@ -237,10 +258,6 @@ def _gelu15_parity_check(batch_size=1024):
     noise inputs produce near-tied logits, so agreement here UNDERSTATES
     trained-model agreement; the trained-checkpoint word-accuracy delta is
     measured by evaluate_cli (PARITY.md gelu9 row)."""
-    import os
-
-    import jax
-
     infer9, image = build(batch_size)
     rng_img = jax.random.normal(jax.random.PRNGKey(3), image.shape,
                                 jnp.float32)
@@ -251,7 +268,7 @@ def _gelu15_parity_check(batch_size=1024):
         infer15, _ = build(batch_size)
         pred15, _ = infer15(rng_img, token)
         agree = float(jnp.mean((pred9 == pred15).astype(jnp.float32)))
-        for _ in range(3):
+        for _ in range(2):
             pred, token = infer15(rng_img, token)
         jax.block_until_ready(pred)
         t0 = time.perf_counter()
@@ -259,18 +276,16 @@ def _gelu15_parity_check(batch_size=1024):
             pred, token = infer15(rng_img, token)
         jax.block_until_ready(pred)
         tput = batch_size * 10 / (time.perf_counter() - t0)
-        print(f"# SVTR deg-15 erf bs{batch_size}: {tput:,.0f} crops/s "
-              f"(argmax agreement deg9 vs deg15 on noise: {agree:.4f})",
-              file=sys.stderr)
+        _emit(f"SVTR deg-15 erf bs{batch_size}", tput, "crops/s",
+              argmax_agreement_vs_deg9=round(agree, 4))
     finally:
         os.environ.pop("SVTR_GELU_DEG", None)
 
 
 def _gelu_serving_check(batch_size=512):
     """Serving-mode lever: tanh-approx GELU (exact erf costs ~20% of SVTR
-    inference on the VPU).  Reports throughput + the max logit delta vs the
-    exact-erf path on one random batch (documented <1e-3)."""
-    import jax
+    inference on the VPU).  Reports throughput + argmax agreement vs the
+    exact-erf path on one random batch (logit delta documented <1e-3)."""
     from mrn_tpu.models import svtr as svtr_mod
 
     infer, image = build(batch_size)
@@ -283,7 +298,7 @@ def _gelu_serving_check(batch_size=512):
         infer_a, _ = build(batch_size)
         approx_pred, _ = infer_a(rng_img, token)
         agree = float(jnp.mean((exact_pred == approx_pred).astype(jnp.float32)))
-        for _ in range(3):
+        for _ in range(2):
             pred, token = infer_a(rng_img, token)
         jax.block_until_ready(pred)
         t0 = time.perf_counter()
@@ -291,9 +306,8 @@ def _gelu_serving_check(batch_size=512):
             pred, token = infer_a(rng_img, token)
         jax.block_until_ready(pred)
         tput = batch_size * 10 / (time.perf_counter() - t0)
-        print(f"# SVTR serving (gelu tanh-approx) bs{batch_size}: "
-              f"{tput:,.0f} crops/s (argmax agreement vs exact erf: "
-              f"{agree:.4f})", file=sys.stderr)
+        _emit(f"SVTR gelu-approx bs{batch_size}", tput, "crops/s",
+              argmax_agreement_vs_erf=round(agree, 4))
     finally:
         svtr_mod.set_gelu_approximate(False)
 
@@ -302,13 +316,17 @@ def main():
     t_start = time.perf_counter()
     best = 0.0
     best_bs = 0
-    for bs in (2048, 1024, 512, 256):
+    # bs 2048 has been the sweep winner every round (r2-r4) with 512 within
+    # 1%; the 1024/256 points never won and cost ~2 compiles of the secondary
+    # budget — dropped (VERDICT r4 #6).
+    for bs in (2048, 512):
         try:
             tput = measure(bs)
         except Exception as e:  # OOM etc.
             print(f"# batch {bs} failed: {e}", file=sys.stderr)
             continue
-        print(f"# batch {bs}: {tput:,.0f} crops/s", file=sys.stderr)
+        print(f"# batch {bs}: {tput:,.0f} crops/s", file=sys.stderr,
+              flush=True)
         if tput > best:
             best, best_bs = tput, bs
     # Print the parseable headline JSON IMMEDIATELY after the sweep, before
@@ -321,60 +339,62 @@ def main():
         "unit": "crops/s",
         "vs_baseline": round(best / BASELINE_CROPS_PER_SEC, 3),
     }), flush=True)
-    # informational secondaries (stderr only), each gated on the remaining
-    # time budget so a slow one can't starve the rest
-    SECONDARY_BUDGET_S = 900.0
-    if time.perf_counter() - t_start < SECONDARY_BUDGET_S:
-        _CRNN = dict(Transformation="None", FeatureExtraction="VGG",
-                     SequenceModeling="BiLSTM", Prediction="CTC")
-        _TRBA = dict(Transformation="TPS", FeatureExtraction="ResNet",
-                     SequenceModeling="BiLSTM", Prediction="Attn")
-        _SVTR = dict(Transformation="None", FeatureExtraction="SVTR",
-                     SequenceModeling="None", Prediction="CTC")
-        def _svtr_int8_attn(batch_size):
-            # int8 attention matmuls on top of the int8 projections
-            from mrn_tpu.models import svtr as svtr_mod
-            svtr_mod.set_attention_int8(True)
-            try:
-                _secondary_arch("SVTR+attn", _SVTR, batch_size=batch_size,
-                                int8=True)
-            finally:
-                svtr_mod.set_attention_int8(False)
+    # Secondaries, each emitting its own stdout JSON line on completion and
+    # gated on the remaining budget so a slow one can't starve the rest.
+    # Ordered README-table-first: every README perf row lands before the
+    # informational gelu checks.
+    SECONDARY_BUDGET_S = float(os.environ.get("MRN_BENCH_BUDGET_S", "2700"))
+    _CRNN = dict(Transformation="None", FeatureExtraction="VGG",
+                 SequenceModeling="BiLSTM", Prediction="CTC")
+    _TRBA = dict(Transformation="TPS", FeatureExtraction="ResNet",
+                 SequenceModeling="BiLSTM", Prediction="Attn")
+    _SVTR = dict(Transformation="None", FeatureExtraction="SVTR",
+                 SequenceModeling="None", Prediction="CTC")
 
-        secondaries = [
-            ("gelu15-parity", _gelu15_parity_check, (), {}),
-            ("gelu-approx", _gelu_serving_check, (), {}),
-            ("gelu-approx bs2048", _gelu_serving_check, (),
-             dict(batch_size=2048)),
-            ("CRNN", _secondary_arch, ("CRNN", _CRNN), {}),
-            ("TRBA bs256", _secondary_arch, ("TRBA", _TRBA), {}),
-            ("TRBA bs512", _secondary_arch, ("TRBA", _TRBA),
-             dict(batch_size=512)),
-            ("TRBA int8", _secondary_arch, ("TRBA", _TRBA),
-             dict(batch_size=512, int8=True)),
-            ("CRNN int8", _secondary_arch, ("CRNN", _CRNN),
-             dict(batch_size=256, int8=True)),
-            # w8a8 SVTR: block projections (~79% of FLOPs) on the int8 MXU
-            # via the fused Pallas kernel (ops/svtr_block._make_kernel_int8)
-            ("SVTR int8 bs512", _secondary_arch, ("SVTR", _SVTR),
-             dict(batch_size=512, int8=True)),
-            ("SVTR int8 bs1024", _secondary_arch, ("SVTR", _SVTR),
-             dict(batch_size=1024, int8=True)),
-            ("SVTR int8+attn bs512", _svtr_int8_attn, (),
-             dict(batch_size=512)),
-            ("MRN serving", _mrn_serving_bench, (), {}),
-            ("train-step", _train_step_bench, (), {}),
-        ]
-        for label, fn, fargs, fkw in secondaries:
-            if time.perf_counter() - t_start > SECONDARY_BUDGET_S:
-                print(f"# secondary budget exhausted before {label}",
-                      file=sys.stderr)
-                break
-            try:
-                fn(*fargs, **fkw)
-            except Exception as e:
-                print(f"# secondary bench {label} failed: {e}",
-                      file=sys.stderr)
+    def _svtr_int8_attn(batch_size):
+        # int8 attention matmuls on top of the int8 projections
+        from mrn_tpu.models import svtr as svtr_mod
+        svtr_mod.set_attention_int8(True)
+        try:
+            _secondary_arch("SVTR+attn", _SVTR, batch_size=batch_size,
+                            int8=True)
+        finally:
+            svtr_mod.set_attention_int8(False)
+
+    secondaries = [
+        # README perf-table rows first (VERDICT r4 #6)
+        ("CRNN", _secondary_arch, ("CRNN", _CRNN), {}),
+        ("TRBA bs256", _secondary_arch, ("TRBA", _TRBA), {}),
+        ("TRBA int8", _secondary_arch, ("TRBA", _TRBA),
+         dict(batch_size=512, int8=True)),
+        ("CRNN int8", _secondary_arch, ("CRNN", _CRNN),
+         dict(batch_size=256, int8=True)),
+        # w8a8 SVTR: block projections (~79% of FLOPs) on the int8 MXU
+        # via the fused Pallas kernel (ops/svtr_block._make_kernel_int8)
+        ("SVTR int8 bs512", _secondary_arch, ("SVTR", _SVTR),
+         dict(batch_size=512, int8=True)),
+        ("SVTR int8+attn bs512", _svtr_int8_attn, (),
+         dict(batch_size=512)),
+        ("MRN serving", _mrn_serving_bench, (), {}),
+        ("SVTR train-step bf16", _train_step_bench,
+         ("SVTR",), dict(dtype=jnp.bfloat16, overrides=_SVTR)),
+        ("CRNN train-step", _train_step_bench, ("CRNN",), {}),
+        # informational checks last
+        ("SVTR int8 bs1024", _secondary_arch, ("SVTR", _SVTR),
+         dict(batch_size=1024, int8=True)),
+        ("gelu15-parity", _gelu15_parity_check, (), {}),
+        ("gelu-approx", _gelu_serving_check, (), {}),
+    ]
+    for label, fn, fargs, fkw in secondaries:
+        if time.perf_counter() - t_start > SECONDARY_BUDGET_S:
+            print(f"# secondary budget exhausted before {label}",
+                  file=sys.stderr)
+            break
+        try:
+            fn(*fargs, **fkw)
+        except Exception as e:
+            print(f"# secondary bench {label} failed: {e}",
+                  file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -60,6 +60,42 @@ def gelu_approximate() -> bool:
     return _GELU_APPROX
 
 
+# Training-path GELU implementation (round-5, VERDICT r4 #2): "poly" swaps
+# the exact erf (exp-based VPU transcendental, and another exp for erf' in
+# the backward) for the DEGREE-15 minimax erf polynomial (ops/svtr_block.
+# _ERF_COEFS): |erf err| < 1.9e-7 and, because autodiff runs through the FMA
+# chain, the gradient is polynomial too — measured |gelu' err| < 1.6e-5
+# (dense grid, tests/test_svtr_attention.py), two orders below bf16
+# resolution.  (The inference kernel's degree-9 fit is value-accurate but
+# its DERIVATIVE deviates up to 2.4e-2 — fine for serving, not for
+# gradients, so training gets the longer chain: 15 FMAs vs exp is still a
+# large VPU win in both directions.)  "auto" = poly on TPU, exact erf
+# elsewhere (keeps CPU torch-parity tests bit-faithful).
+_TRAIN_GELU = "auto"
+
+
+def set_train_gelu(mode: str):
+    global _TRAIN_GELU
+    assert mode in ("auto", "erf", "poly")
+    _TRAIN_GELU = mode
+
+
+def _gelu(x, allow_approx: bool = True):
+    """GELU for the composed (training) path — honors the serving-mode
+    tanh approximation first (Block MLP only, matching the fused kernel's
+    scope), then the _TRAIN_GELU erf implementation."""
+    if _GELU_APPROX and allow_approx:
+        return nn.gelu(x, approximate=True)
+    mode = _TRAIN_GELU
+    if mode == "auto":
+        mode = "poly" if jax.default_backend() == "tpu" else "erf"
+    if mode == "poly":
+        from mrn_tpu.ops.svtr_block import _ERF_COEFS, _erf_poly
+
+        return 0.5 * x * (1.0 + _erf_poly(x * (2.0 ** -0.5), _ERF_COEFS))
+    return nn.gelu(x, approximate=False)
+
+
 # Serving-mode switch: also run the attention matmuls (QK^T / PV) int8 in
 # the fused w8a8 block kernel.  head_dim 32 pads the MXU contraction 4x, so
 # these matmuls carry ~45% of SVTR's MXU ticks despite ~17% of its FLOPs;
@@ -97,11 +133,27 @@ def _impl_resolved() -> str:
     return impl
 
 
-def _attention_core(q, k, v, mask):
-    from mrn_tpu.ops.svtr_attention import mha_small_n, xla_attention
+def _attention_core(q, k, v, mask, band=None):
+    """``band`` = (h, w, hk, wk) when ``mask`` is a column-major Local
+    window: scores/softmax/PV (and their backward) then run against a
+    width-key window per query block instead of all N keys — identical math
+    (out-of-window keys are -inf in ``mask``), ~2x less score/PV work on
+    SVTR's stage-1/2 geometries.  Works on both impls: banded Pallas forward
+    + banded XLA backward, or pure banded XLA (shardable under a mesh)."""
+    import os as _os
 
+    from mrn_tpu.ops.svtr_attention import (banded_attention_xla, mha_small_n,
+                                            xla_attention)
+
+    if band is not None and _os.environ.get("SVTR_BAND", "1") == "0":
+        band = None  # A/B switch, same knob as the fused inference kernel
     if _impl_resolved() == "pallas":
-        return mha_small_n(q, k, v, mask)
+        return mha_small_n(q, k, v, mask, band=band)
+    if band is not None:
+        from mrn_tpu.ops.svtr_block import _band_spec
+
+        if _band_spec(*band) is not None:
+            return banded_attention_xla(q, k, v, band)
     if mask is not None:
         mask = jnp.asarray(mask)
     return xla_attention(q, k, v, mask)
@@ -329,6 +381,9 @@ class Block(nn.Module):
             record_amax("q", q)
             record_amax("k", k)
             record_amax("v", v)
+        band = ((self.hw[0], self.hw[1], self.local_k[0], self.local_k[1])
+                if (mask is not None and self.col_major
+                    and self.quant == "none") else None)
         if self.is_mutable_collection("intermediates"):
             # Score-envelope calibration (ADVICE r4): the fused kernel's
             # reduction-free softmax clamps scores at SCORE_CLAMP=60 and
@@ -338,16 +393,14 @@ class Block(nn.Module):
             s = jnp.einsum("bhnd,bhmd->bhnm", q, k)
             self.sow("intermediates", "score_max", jnp.max(jnp.abs(s)),
                      reduce_fn=jnp.maximum, init_fn=lambda: jnp.float32(0))
-        attn = _attention_core(q, k, v, mask)  # [B, h, N, d]
+        attn = _attention_core(q, k, v, mask, band=band)  # [B, h, N, d]
         attn = jnp.transpose(attn, (0, 2, 1, 3)).reshape(b, n, c)
         attn = project("proj", attn, params["proj_kernel"],
                        params["proj_bias"])
         x = x + dp(attn, train)
 
         h = _manual_layer_norm(x, params["norm2_scale"], params["norm2_bias"])
-        h = nn.gelu(project("fc1", h, params["fc1_kernel"],
-                            params["fc1_bias"]),
-                    approximate=_GELU_APPROX)
+        h = _gelu(project("fc1", h, params["fc1_kernel"], params["fc1_bias"]))
         h = project("fc2", h, params["fc2_kernel"], params["fc2_bias"])
         return x + dp(h, train)
 
@@ -362,10 +415,10 @@ class PatchEmbed(nn.Module):
     def __call__(self, x, train: bool = True):
         x = _svtr_conv(self.embed_dim // 2, (3, 3), strides=(2, 2), padding=(1, 1),
                        name="conv1")(x)
-        x = nn.gelu(batch_norm(x, train, name="bn1"), approximate=False)
+        x = _gelu(batch_norm(x, train, name="bn1"), allow_approx=False)
         x = _svtr_conv(self.embed_dim, (3, 3), strides=(2, 2), padding=(1, 1),
                        name="conv2")(x)
-        x = nn.gelu(batch_norm(x, train, name="bn2"), approximate=False)
+        x = _gelu(batch_norm(x, train, name="bn2"), allow_approx=False)
         b, h, w, c = x.shape
         return x.reshape(b, h * w, c)
 

@@ -11,6 +11,18 @@ VMEM-resident.
 
 Forward-only kernel; training gets gradients via a custom VJP that reuses the
 XLA formulation's backward (identical math).
+
+Banded variant (round-5, VERDICT r4 #2): for SVTR's Local blocks over
+COLUMN-major tokens the 7x11 window is a narrow diagonal band
+(models/svtr.local_attention_mask_col_major), so scores/softmax/PV need only
+a ``width``-key window per query block instead of all N keys — identical
+math, since every out-of-window key is exp(-inf)=0 in the full path.  The
+inference fused kernel has exploited this since round 4
+(ops/svtr_block._band_spec); here the TRAINING path gets it too:
+``mha_small_n(..., band=(h, w, hk, wk))`` runs a banded Pallas forward and a
+banded XLA backward (``banded_attention_xla`` is plain differentiable XLA, so
+the [B,h,N,N] tensors never exist in the backward either — the backward was
+the dominant share of the 78.6 ms bf16 train step).
 """
 
 from __future__ import annotations
@@ -23,7 +35,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["mha_small_n", "xla_attention"]
+__all__ = ["mha_small_n", "xla_attention", "banded_attention_xla"]
 
 
 def xla_attention(q, k, v, mask=None):
@@ -34,6 +46,42 @@ def xla_attention(q, k, v, mask=None):
         attn = attn + mask[None, None].astype(attn.dtype)
     attn = jax.nn.softmax(attn, axis=-1)
     return jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+
+
+def banded_attention_xla(q, k, v, band):
+    """Differentiable XLA banded local attention over column-major tokens.
+
+    q,k,v: [B, H, N, D] (q pre-scaled); ``band`` = (h, w, hk, wk) Local-mask
+    geometry with token = col*h + row.  Bit-equivalent to
+    ``xla_attention(q, k, v, local_attention_mask_col_major(h, w, hk, wk))``
+    (out-of-window keys are -inf there), at width/N of its score/softmax/PV
+    cost in BOTH directions — plain einsums, so autodiff and mesh batch
+    sharding work unchanged.  Falls back to the full path when banding cannot
+    beat it (window covers all keys)."""
+    from mrn_tpu.ops.svtr_block import _band_spec
+
+    spec = _band_spec(*band)
+    if spec is None:
+        from mrn_tpu.models.svtr import local_attention_mask_col_major
+
+        return xla_attention(q, k, v,
+                             jnp.asarray(local_attention_mask_col_major(*band)))
+    qb, width, starts, band_mask = spec
+    b, h, n, d = q.shape
+    nq = n // qb
+    qs = q.reshape(b, h, nq, qb, d)
+    # static-slice key/value windows: [B, H, nq, width, D].  The windows
+    # overlap, so the transpose of this stack is a scatter-add XLA emits
+    # natively in the backward.
+    k_win = jnp.stack([jax.lax.slice_in_dim(k, st, st + width, axis=2)
+                       for st in starts], axis=2)
+    v_win = jnp.stack([jax.lax.slice_in_dim(v, st, st + width, axis=2)
+                       for st in starts], axis=2)
+    s = jnp.einsum("bhaqd,bhawd->bhaqw", qs, k_win)
+    s = s + jnp.asarray(band_mask).reshape(nq, qb, width)[None, None]
+    p = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum("bhaqw,bhawd->bhaqd", p.astype(v.dtype), v_win)
+    return o.reshape(b, h, n, d)
 
 
 def _make_kernel(group: int):
@@ -106,6 +154,67 @@ def _mha_forward(q, k, v, mask, interpret=False, group=None):
     return out.reshape(b, h, n, d)
 
 
+def _make_banded_kernel(group: int, qb: int, width: int, starts: tuple):
+    """Banded forward: per (image, query-block) the scores/softmax/PV run
+    against a static ``width``-key window (starts are compile-time ints) —
+    width/N of the full kernel's MXU/VPU work.  Softmax keeps the
+    max-subtract (training sees unconstrained scores; the inference fused
+    kernel's reduction-free clamp is a trained-checkpoint-only contract)."""
+    nq = len(starts)
+
+    def kernel(q_ref, k_ref, v_ref, mask_ref, o_ref):
+        def body(g, carry):
+            for a in range(nq):
+                q = q_ref[pl.ds(g, 1), pl.ds(a * qb, qb), :]
+                k = k_ref[pl.ds(g, 1), pl.ds(starts[a], width), :]
+                v = v_ref[pl.ds(g, 1), pl.ds(starts[a], width), :]
+                m = mask_ref[pl.ds(a * qb, qb), :][None]
+                s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
+                                        preferred_element_type=jnp.float32)
+                s = s + m
+                mx = jnp.max(s, axis=-1, keepdims=True)
+                p = jnp.exp(s - mx)
+                p = p / jnp.sum(p, axis=-1, keepdims=True)
+                o = jax.lax.dot_general(p.astype(v.dtype), v,
+                                        (((2,), (1,)), ((0,), (0,))),
+                                        preferred_element_type=jnp.float32)
+                o_ref[pl.ds(g, 1), pl.ds(a * qb, qb), :] = o.astype(o_ref.dtype)
+            return carry
+
+        jax.lax.fori_loop(0, group, body, 0)
+
+    return kernel
+
+
+def _banded_forward(q, k, v, band, interpret=False):
+    from mrn_tpu.ops.svtr_block import _band_spec
+
+    qb, width, starts, band_mask = _band_spec(*band)
+    b, h, n, d = q.shape
+    bh = b * h
+    group = _pick_group(bh, n, d, q.dtype.itemsize)
+    while bh % group:
+        group //= 2
+    qf = q.reshape(bh, n, d)
+    kf = k.reshape(bh, n, d)
+    vf = v.reshape(bh, n, d)
+    spec = pl.BlockSpec((group, n, d), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _make_banded_kernel(group, qb, width, starts),
+        grid=(bh // group,),
+        in_specs=[spec, spec, spec,
+                  pl.BlockSpec((n, width), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((bh, n, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(qf, kf, vf, jnp.asarray(band_mask))
+    return out.reshape(b, h, n, d)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def _mha_vjp(q, k, v, mask, interpret):
     return _mha_forward(q, k, v, mask, interpret)
@@ -126,9 +235,37 @@ def _bwd(interpret, res, g):
 _mha_vjp.defvjp(_fwd, _bwd)
 
 
-def mha_small_n(q, k, v, mask=None, interpret: bool = False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _mha_banded_vjp(q, k, v, band, interpret):
+    return _banded_forward(q, k, v, band, interpret)
+
+
+def _banded_fwd(q, k, v, band, interpret):
+    return _banded_forward(q, k, v, band, interpret), (q, k, v)
+
+
+def _banded_bwd(band, interpret, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(lambda q_, k_, v_: banded_attention_xla(q_, k_, v_, band),
+                     q, k, v)
+    return vjp(g)
+
+
+_mha_banded_vjp.defvjp(_banded_fwd, _banded_bwd)
+
+
+def mha_small_n(q, k, v, mask=None, band=None, interpret: bool = False):
     """q,k,v: [B, H, N, D], q pre-scaled; additive mask [N, N] or None.
-    Pallas forward (attention matrix never leaves VMEM), XLA-math backward."""
+    Pallas forward (attention matrix never leaves VMEM), XLA-math backward.
+
+    ``band`` = (h, w, hk, wk): the mask is a column-major Local window —
+    both directions run banded (see module docstring); ``mask`` is then
+    ignored (the band geometry determines it)."""
+    if band is not None:
+        from mrn_tpu.ops.svtr_block import _band_spec
+
+        if _band_spec(*band) is not None:
+            return _mha_banded_vjp(q, k, v, band, interpret)
     n = q.shape[2]
     m = jnp.zeros((n, n), jnp.float32) if mask is None \
         else jnp.asarray(mask, jnp.float32)

@@ -127,6 +127,7 @@ def run_incremental(opt, source, log):
     best_scores, ned_scores = [], []
     valid_datas = []
     matrix, stage_times = [], []
+    stop_after = opt.get("stop_after", -1)
     for taski in range(len(opt.lan_list)):
         t0 = time.time()
         valid_datas.append(f"synth_test/{opt.lan_list[taski]}")
@@ -153,6 +154,14 @@ def run_incremental(opt, source, log):
         print(f"[{opt.il}] task {taski} ({opt.lan_list[taski]}): "
               f"row={matrix[-1]} AIA={best_scores[-1]} "
               f"({stage_times[-1]}s)", flush=True)
+        if stop_after >= 0 and taski >= stop_after:
+            # per-stage process recycling (scripts/campaign_recycle.py):
+            # exit after this stage; a fresh process resumes via
+            # --start_task/--eval_from, sidestepping the tunneled TPU
+            # client's host-RSS growth that OOM-killed 6-task campaigns
+            print(f"[{opt.il}] stop_after={stop_after}: stage complete, "
+                  "exiting for process recycle", flush=True)
+            break
     return learner, best_scores, matrix, stage_times
 
 
@@ -196,6 +205,7 @@ def run_strategy(il, args, source, memory_num, model_dims):
         fisher_num_iter=max(1, args.num_iter // 4),  # EWC budget, scaled
         train_dtype="bf16" if args.bf16 else None,
         start_task=args.start_task, eval_from=args.eval_from,
+        stop_after=args.stop_after,
         output_dir=os.path.join(args.out, "saved"),
         data_log=os.path.join(args.out, f"data_{prefix}{il}.txt"))
     opt.image_bank = source.device_bank()
@@ -206,6 +216,23 @@ def run_strategy(il, args, source, memory_num, model_dims):
         learner, aia, matrix, times = run_joint(opt, source, log)
     else:
         learner, aia, matrix, times = run_incremental(opt, source, log)
+
+    if args.stop_after >= 0:
+        # recycled-process partial record: only the stages this process
+        # actually evaluated (>= eval_from); campaign_recycle.py merges the
+        # per-stage files into the final <prefix><il>.json
+        partial = {
+            "stage": args.stop_after, "eval_from": args.eval_from,
+            "rows": matrix, "aia": aia,
+            "stage_seconds": times,
+            "total_seconds": round(time.time() - t0, 1),
+        }
+        path = os.path.join(args.out,
+                            f"{prefix}{il}.stage{args.stop_after}.json")
+        with open(path, "w", encoding="utf-8") as f:
+            json.dump(partial, f, indent=1)
+        print(f"wrote {path}", flush=True)
+        return
 
     final_row = matrix[-1]
     # average forgetting: best-seen (diagonal) minus final, over tasks 0..n-2
@@ -264,6 +291,11 @@ def main():
                     help="with --start_task resume: skip the per-stage evals "
                          "for tasks below this (their rows are already "
                          "recorded), evaluating only the later stages")
+    ap.add_argument("--stop_after", type=int, default=-1,
+                    help="exit after this stage completes (train + eval + "
+                         "after_task), writing <prefix><il>.stage<K>.json — "
+                         "the per-stage unit campaign_recycle.py drives in "
+                         "a fresh process each to sidestep host-RSS growth")
     ap.add_argument("--shared", type=int, default=0,
                     help="size of the shared glyph slice prepended to every "
                          "task alphabet (the digits/punctuation analogue; "
