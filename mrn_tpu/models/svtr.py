@@ -88,7 +88,11 @@ def _gelu(x, allow_approx: bool = True):
         return nn.gelu(x, approximate=True)
     mode = _TRAIN_GELU
     if mode == "auto":
-        mode = "poly" if jax.default_backend() == "tpu" else "erf"
+        import os as _os
+
+        mode = _os.environ.get("MRN_TRAIN_GELU")  # A/B knob, trace-time
+        if mode not in ("erf", "poly"):
+            mode = "poly" if jax.default_backend() == "tpu" else "erf"
     if mode == "poly":
         from mrn_tpu.ops.svtr_block import _ERF_COEFS, _erf_poly
 

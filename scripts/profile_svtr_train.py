@@ -58,5 +58,10 @@ def run(dtype):
 
 
 if __name__ == "__main__":
-    run(jnp.float32)
-    run(jnp.bfloat16)
+    import sys
+
+    which = sys.argv[1] if len(sys.argv) > 1 else "both"
+    if which in ("f32", "both"):
+        run(jnp.float32)
+    if which in ("bf16", "both"):
+        run(jnp.bfloat16)

@@ -34,6 +34,10 @@ def main():
     ap.add_argument("--per_task", type=int, default=256)
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--platform", default=None)
+    ap.add_argument("--arch", default="crnn",
+                    choices=["crnn", "trba", "svtr"],
+                    help="recognizer architecture of the checkpoint (same "
+                         "presets as accuracy_campaign.py)")
     ap.add_argument("--out", default=None, help="write JSON here")
     args = ap.parse_args()
     if args.platform:
@@ -50,23 +54,55 @@ def main():
 
     t0 = time.time()
     payload = load_model(args.ckpt)
-    experts = payload.get("experts", [])
-    counts = tuple(int(np.asarray(e["fc"]["bias"]).shape[0]) for e in experts)
     params = payload["params"]
-    assert "experts" in params, "checkpoint holds no routed (step-1) params"
-    num_classes = int(np.asarray(params["experts"]["fc"]["bias"]).shape[1])
+    batch_stats = payload.get("batch_stats", {})
+    if "experts" not in params:
+        # round-3+ layout: router-only params + content-addressed expert
+        # blobs under <ckpt_dir>/experts/ (learners/mrn.py save_composite)
+        from mrn_tpu.models.mrn import stack_expert_params
+
+        refs = [r.decode() if isinstance(r, bytes) else str(r)
+                for r in payload.get("expert_refs", [])]
+        assert refs, "checkpoint holds no routed (step-1) params or refs"
+        expert_dir = os.path.join(os.path.dirname(args.ckpt), "experts")
+        blobs = [load_model(os.path.join(expert_dir, f"{r}.msgpack"))
+                 for r in refs]
+        experts = [b["params"] for b in blobs]
+        counts = tuple(int(np.asarray(e["fc"]["bias"]).shape[0])
+                       for e in experts)
+        num_classes = max(counts)
+        pred = "Attn" if args.arch == "trba" else "CTC"
+        params = dict(payload.get("router") or params)
+        params["experts"] = stack_expert_params(experts, num_classes, pred)
+        stats = payload.get("expert_stats") or [b["batch_stats"]
+                                                for b in blobs]
+        if stats and stats[0]:
+            batch_stats = {"experts": jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs, 0), *stats)}
+    else:
+        experts = payload.get("experts", [])
+        counts = tuple(int(np.asarray(e["fc"]["bias"]).shape[0])
+                       for e in experts)
+        num_classes = int(np.asarray(params["experts"]["fc"]["bias"]).shape[1])
     n_experts = int(np.asarray(params["experts"]["fc"]["bias"]).shape[0])
     hidden = int(np.asarray(params["experts"]["fc"]["kernel"]).shape[1])
     print(f"ckpt: {n_experts} experts, counts={counts}, "
           f"C_total={num_classes}, hidden={hidden} "
           f"({time.time()-t0:.0f}s load)", flush=True)
 
+    arch = dict(
+        crnn=dict(transformation="None", feature_extraction="VGG",
+                  sequence_modeling="BiLSTM", prediction="CTC"),
+        trba=dict(transformation="TPS", feature_extraction="ResNet",
+                  sequence_modeling="BiLSTM", prediction="Attn"),
+        svtr=dict(transformation="None", feature_extraction="SVTR",
+                  sequence_modeling="None", prediction="CTC"),
+    )[args.arch]
     model = MRNNet(
         n_experts=n_experts, num_classes=num_classes, class_counts=counts,
-        prediction="CTC", transformation="None", feature_extraction="VGG",
-        sequence_modeling="BiLSTM", output_channel=512, hidden_size=hidden,
-        img_size=(32, 256))
-    variables = {"params": params, "batch_stats": payload["batch_stats"]}
+        output_channel=512, hidden_size=hidden,
+        img_size=(32, 256), **arch)
+    variables = {"params": params, "batch_stats": batch_stats}
 
     @jax.jit
     def route(image):
