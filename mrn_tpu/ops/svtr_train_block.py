@@ -1,0 +1,414 @@
+"""Fused SVTR transformer-block TRAINING path (round-5, VERDICT r4 #2).
+
+The inference block kernel (ops/svtr_block.py) cut the composed forward from
+29.1 ms to 11.3 ms at bs256 bf16, but training kept the composed XLA ops:
+fwd 29.1 + bwd 45.5 + CTC 4.6 ~= the 78.6 ms train step — and training is
+the dominant chip cost of the actual workload (6 tasks x 10k iters,
+reference config/crnn_mrn.py:29-67).  This module gives the training path
+the same treatment:
+
+- ``_forward``: a Pallas kernel that runs the whole block in VMEM like the
+  inference kernel (group-batched projections, banded local attention,
+  max-subtract softmax with the row-sum riding the PV matmul's ones-column)
+  and ADDITIONALLY writes the residuals the backward needs (qkv, the
+  attention output, the post-attention activation y, the MLP hidden h1) —
+  HBM traffic is exactly what reverse-mode autodiff would have saved anyway,
+  minus every intermediate it would have round-tripped.
+
+  Two differences from the inference kernel, both training-driven: softmax
+  keeps the max-subtract (training sees unconstrained scores; the
+  reduction-free clamp is a trained-checkpoint-only contract), and the
+  LayerNorm affines stay in-kernel un-folded (folded weights would make the
+  custom-VJP's parameter cotangents a chain-rule mess for zero fwd gain at
+  training's group sizes).
+
+- ``fused_block_train``: a ``jax.custom_vjp`` whose backward is hand-written
+  from the saved residuals — LayerNorm/GELU/droppath backprop as explicit
+  einsums (no recompute of the forward LayerNorms), attention backward via
+  ``jax.vjp`` over the banded XLA formulation (recomputes only the
+  score/softmax tile, never materializing [B, h, N, N]).
+
+Droppath (stochastic depth) is handled by PRE-DIVIDED per-image keep masks
+(mask/keep, shape [B, 1]) passed in as SMEM scalars, so the kernel stays
+deterministic and fwd/bwd see identical masks through the VJP residuals.
+
+GELU is the degree-15 minimax erf polynomial (ops/svtr_block._ERF_COEFS):
+gradient-accurate to 1.6e-5 (tests/test_svtr_attention.py), matching the
+composed training path's TPU default (models/svtr._gelu, mode "poly").
+
+Reference behavior contract: modules/svtr.py:90-208 (Block: prenorm MHA with
+the Local mask + prenorm MLP, droppath on both branches).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mrn_tpu.ops.svtr_block import _ERF_COEFS, _band_spec, _erf_poly
+
+__all__ = ["fused_block_train"]
+
+_PARAM_KEYS = ("norm1_scale", "norm1_bias", "qkv_kernel", "qkv_bias",
+               "proj_kernel", "proj_bias", "norm2_scale", "norm2_bias",
+               "fc1_kernel", "fc1_bias", "fc2_kernel", "fc2_bias")
+
+_ERF_Z0SQ = 3.7 * 3.7
+
+
+def _gelu15(x):
+    return 0.5 * x * (1.0 + _erf_poly(x * (2.0 ** -0.5), _ERF_COEFS))
+
+
+def _gelu15_grad(x):
+    """d/dx [0.5 x (1 + erf_poly(x/sqrt(2)))] with the SAME degree-15
+    polynomial and clip semantics as the forward — matches autodiff of
+    ``_gelu15`` exactly away from the measure-zero clip boundary.
+
+    With z = x/sqrt(2), u = (2/Z0) min(z^2, Z0) - 1:
+      E(z)   = clip(z P(u), -1, 1)
+      E'(z)  = P(u) + z P'(u) (4z/Z0) [z^2 < Z0],  0 where the clip binds
+      gelu'  = 0.5 (1 + E) + 0.5 x E'(z) / sqrt(2)
+    """
+    inv_sqrt2 = 2.0 ** -0.5
+    z = x * inv_sqrt2
+    zsq = z * z
+    u = (2.0 / _ERF_Z0SQ) * jnp.minimum(zsq, _ERF_Z0SQ) - 1.0
+    p = jnp.asarray(_ERF_COEFS[-1], x.dtype)
+    dp = jnp.zeros_like(u)
+    for c in _ERF_COEFS[-2::-1]:  # Horner for P and P' together
+        dp = dp * u + p
+        p = p * u + c
+    e_raw = z * p
+    du_dz = jnp.where(zsq < _ERF_Z0SQ, (4.0 / _ERF_Z0SQ) * z, 0.0)
+    de = p + z * dp * du_dz
+    de = jnp.where(jnp.abs(e_raw) < 1.0, de, 0.0)
+    e = jnp.clip(e_raw, -1.0, 1.0)
+    return 0.5 * (1.0 + e) + 0.5 * x * de * inv_sqrt2
+
+
+def _plan(band, n):
+    """(qb, width, starts, band_mask) — banded plan for Local col-major
+    blocks, or the trivial full-window plan (Global / unbanded)."""
+    if band is not None:
+        spec = _band_spec(*band)
+        if spec is not None and band[0] * band[1] == n:
+            return spec
+    return n, n, (0,), np.zeros((n, n), np.float32)
+
+
+def _pick_group(b, n, c, hidden, width, num_heads, itemsize):
+    """Largest group whose forward working set fits a conservative VMEM
+    budget: f32 x/attn/y (3 nc) + qkv (3 nc) + h1 (hidden), the bf16 p
+    scratch [heads*n, width], and double-buffered in/out blocks for the five
+    outputs."""
+    budget = 10 * 1024 * 1024
+    per_g = (n * c * 4 * 3 + n * 3 * c * 4 + n * hidden * 4
+             + num_heads * n * width * itemsize
+             + n * (c * 3 + 3 * c + hidden) * itemsize * 2)
+    fixed = (n * width * 4
+             + c * (3 * c + c + hidden) * itemsize
+             + hidden * c * itemsize)
+    group = max(1, (budget - fixed) // max(per_g, 1))
+    group = int(min(group, 8, b))
+    while b % group:
+        group -= 1
+    return group
+
+
+def _make_train_kernel(group, num_heads, head_dim, scale, qb, width, starts):
+    c = num_heads * head_dim
+    nq_starts = starts
+
+    def kernel(x_ref, n1s_ref, n1b_ref, qkvk_ref, qkvb_ref, pk_ref, pb_ref,
+               n2s_ref, n2b_ref, f1k_ref, f1b_ref, f2k_ref, f2b_ref,
+               mask_ref, dma_ref, dmb_ref,
+               o_ref, qkv_ref, attn_ref, y_ref, h1_ref,
+               attn_scratch, p_scratch, y_scratch):
+        n = x_ref.shape[1]
+        dt = x_ref.dtype
+        mask = mask_ref[...]
+
+        def ln(t, s_ref, b_ref):
+            mean = jnp.mean(t, axis=-1, keepdims=True)
+            var = jnp.mean(t * t, axis=-1, keepdims=True) - mean * mean
+            return ((t - mean) * jax.lax.rsqrt(var + 1e-6)) * s_ref[...] \
+                + b_ref[...]
+
+        x = x_ref[...].reshape(group * n, c).astype(jnp.float32)
+        h = ln(x, n1s_ref, n1b_ref)
+        qkv = jnp.dot(h.astype(dt), qkvk_ref[...],
+                      preferred_element_type=jnp.float32) + qkvb_ref[...]
+        qkv_ref[...] = qkv.reshape(group, n, 3 * c).astype(qkv_ref.dtype)
+        nq = n // qb
+        for g in range(group):
+            # phase 1: banded masked scores -> max-subtract exp -> p scratch
+            for hd in range(num_heads):
+                lo = hd * head_dim
+                for a in range(nq):
+                    qrows = slice(g * n + a * qb, g * n + (a + 1) * qb)
+                    krows = slice(g * n + nq_starts[a],
+                                  g * n + nq_starts[a] + width)
+                    q = qkv[qrows, lo:lo + head_dim] * scale
+                    k = qkv[krows, c + lo:c + lo + head_dim]
+                    s = jax.lax.dot_general(
+                        q.astype(dt), k.astype(dt), (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    s = s + mask[a * qb:(a + 1) * qb, :]
+                    m = jnp.max(s, axis=-1, keepdims=True)
+                    p_scratch[pl.ds(hd * n + a * qb, qb), :] = jnp.exp(
+                        s - m).astype(dt)
+            # phase 2: PV with the ones-column row-sum on the MXU
+            ones = jnp.ones((width, 1), dt)
+            for hd in range(num_heads):
+                lo = hd * head_dim
+                for a in range(nq):
+                    qrows = slice(g * n + a * qb, g * n + (a + 1) * qb)
+                    krows = slice(g * n + nq_starts[a],
+                                  g * n + nq_starts[a] + width)
+                    v = qkv[krows, 2 * c + lo:2 * c + lo + head_dim]
+                    v_ext = jnp.concatenate([v.astype(dt), ones], axis=1)
+                    o = jnp.dot(p_scratch[pl.ds(hd * n + a * qb, qb), :],
+                                v_ext, preferred_element_type=jnp.float32)
+                    o = o[:, :head_dim] * (1.0 / (o[:, head_dim:] + 1e-30))
+                    attn_scratch[qrows, lo:lo + head_dim] = o.astype(
+                        attn_scratch.dtype)
+        attn_cat = attn_scratch[...]
+        attn_ref[...] = attn_cat.reshape(group, n, c).astype(attn_ref.dtype)
+        a_out = jnp.dot(attn_cat.astype(dt), pk_ref[...],
+                        preferred_element_type=jnp.float32) + pb_ref[...]
+        for g in range(group):
+            rows = slice(g * n, (g + 1) * n)
+            y_scratch[rows, :] = x[rows, :] + a_out[rows, :] * dma_ref[g, 0]
+        y = y_scratch[...]
+        y_ref[...] = y.reshape(group, n, c).astype(y_ref.dtype)
+        h = ln(y, n2s_ref, n2b_ref)
+        h1 = jnp.dot(h.astype(dt), f1k_ref[...],
+                     preferred_element_type=jnp.float32) + f1b_ref[...]
+        h1_ref[...] = h1.reshape(group, n, -1).astype(h1_ref.dtype)
+        h2 = jnp.dot(_gelu15(h1).astype(dt), f2k_ref[...],
+                     preferred_element_type=jnp.float32) + f2b_ref[...]
+        for g in range(group):
+            rows = slice(g * n, (g + 1) * n)
+            o_ref[pl.ds(g, 1), :, :] = (
+                y[rows, :] + h2[rows, :] * dmb_ref[g, 0]
+            ).reshape(1, n, c).astype(o_ref.dtype)
+
+    return kernel
+
+
+def _forward(x, params, dm_a, dm_b, num_heads, scale, band, interpret):
+    b, n, c = x.shape
+    hidden = params["fc1_kernel"].shape[1]
+    head_dim = c // num_heads
+    qb, width, starts, band_mask = _plan(band, n)
+    group = _pick_group(b, n, c, hidden, width, num_heads, x.dtype.itemsize)
+
+    def vec(name):
+        return params[name].reshape(1, -1)
+
+    x_spec = pl.BlockSpec((group, n, c), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+
+    def wspec(shape, space=pltpu.VMEM):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda i: (0,) * nd, memory_space=space)
+
+    weights = [
+        vec("norm1_scale"), vec("norm1_bias"),
+        params["qkv_kernel"], vec("qkv_bias"),
+        params["proj_kernel"], vec("proj_bias"),
+        vec("norm2_scale"), vec("norm2_bias"),
+        params["fc1_kernel"], vec("fc1_bias"),
+        params["fc2_kernel"], vec("fc2_bias"),
+    ]
+    dm_spec = pl.BlockSpec((group, 1), lambda i: (i, 0),
+                           memory_space=pltpu.SMEM)
+    in_specs = ([x_spec] + [wspec(w.shape) for w in weights]
+                + [wspec(band_mask.shape), dm_spec, dm_spec])
+    out, qkv, attn_cat, y, h1 = pl.pallas_call(
+        _make_train_kernel(group, num_heads, head_dim, scale,
+                           qb, width, starts),
+        grid=(b // group,),
+        in_specs=in_specs,
+        out_specs=[
+            x_spec,
+            pl.BlockSpec((group, n, 3 * c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            x_spec,
+            x_spec,
+            pl.BlockSpec((group, n, hidden), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, c), x.dtype),
+            jax.ShapeDtypeStruct((b, n, 3 * c), x.dtype),
+            jax.ShapeDtypeStruct((b, n, c), x.dtype),
+            jax.ShapeDtypeStruct((b, n, c), x.dtype),
+            jax.ShapeDtypeStruct((b, n, hidden), x.dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((group * n, c), jnp.float32),
+                        pltpu.VMEM((num_heads * n, width), x.dtype),
+                        pltpu.VMEM((group * n, c), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x, *weights, jnp.asarray(band_mask),
+      dm_a.astype(jnp.float32), dm_b.astype(jnp.float32))
+    return out, (qkv, attn_cat, y, h1)
+
+
+def _ln_stats(t):
+    tf = t.astype(jnp.float32)
+    mean = tf.mean(-1, keepdims=True)
+    var = (tf * tf).mean(-1, keepdims=True) - mean * mean
+    rstd = jax.lax.rsqrt(var + 1e-6)
+    return (tf - mean) * rstd, rstd
+
+
+def _ln_bwd(d_norm, normed, rstd):
+    """Backward of t -> (t - mean)/std given the normalized value and rstd:
+    dt = rstd (d - mean(d) - normed * mean(d * normed))."""
+    return rstd * (d_norm - d_norm.mean(-1, keepdims=True)
+                   - normed * (d_norm * normed).mean(-1, keepdims=True))
+
+
+def _bwd_xla(x, params, dm_a, dm_b, res, g, num_heads, scale, band):
+    """Hand-written block backward from the saved residuals.  All matmuls
+    take bf16 operands with f32 accumulation (matching what autodiff of the
+    bf16 composed path does); LayerNorm/GELU algebra runs in f32."""
+    qkv, attn_cat, y, h1 = res
+    b, n, c = x.shape
+    head_dim = c // num_heads
+    dt = x.dtype
+
+    def mm(a_, b_, sub):  # einsum with bf16 operands, f32 accumulation
+        return jnp.einsum(sub, a_.astype(dt), b_.astype(dt),
+                          preferred_element_type=jnp.float32)
+
+    g = g.astype(jnp.float32)
+    dma = dm_a.astype(jnp.float32)[:, :, None]   # [B,1,1]
+    dmb = dm_b.astype(jnp.float32)[:, :, None]
+
+    # ---- MLP branch: out = y + dmb * (gelu(z2 @ W1 + b1) @ W2 + b2)
+    dh2 = g * dmb
+    h1f = h1.astype(jnp.float32)
+    gval = _gelu15(h1f)
+    dW2 = mm(gval, dh2, "bnh,bnc->hc")
+    db2 = dh2.sum((0, 1))
+    dgv = mm(dh2, params["fc2_kernel"], "bnc,hc->bnh")
+    dh1 = dgv * _gelu15_grad(h1f)
+    y_norm, rstd2 = _ln_stats(y)
+    z2 = y_norm * params["norm2_scale"].astype(jnp.float32) \
+        + params["norm2_bias"].astype(jnp.float32)
+    dW1 = mm(z2, dh1, "bnc,bnh->ch")
+    db1 = dh1.sum((0, 1))
+    dz2 = mm(dh1, params["fc1_kernel"], "bnh,ch->bnc")
+    ds2 = (dz2 * y_norm).sum((0, 1))
+    db2ln = dz2.sum((0, 1))
+    dy_norm = dz2 * params["norm2_scale"].astype(jnp.float32)
+    dy = g + _ln_bwd(dy_norm, y_norm, rstd2)
+
+    # ---- attention branch: y = x + dma * (attn_cat @ Wp + bp)
+    da = dy * dma
+    dWp = mm(attn_cat, da, "bnc,bnk->ck")
+    dbp = da.sum((0, 1))
+    dattn = mm(da, params["proj_kernel"], "bnk,ck->bnc")
+    # per-head split, composed-path layout (models/svtr.py:379-381)
+    qkvf = qkv.astype(jnp.float32).reshape(b, n, 3, num_heads, head_dim)
+    qkvf = jnp.transpose(qkvf, (2, 0, 3, 1, 4))
+    q_s, k, v = qkvf[0] * scale, qkvf[1], qkvf[2]
+    dattn_h = jnp.transpose(
+        dattn.reshape(b, n, num_heads, head_dim), (0, 2, 1, 3))
+
+    from mrn_tpu.ops.svtr_attention import banded_attention_xla, xla_attention
+
+    def attn_fn(q_, k_, v_):
+        # band validity is enforced at the fused_block_train entry: band is
+        # either a viable banded plan or None (Global, mask-free)
+        qd, kd, vd = q_.astype(dt), k_.astype(dt), v_.astype(dt)
+        if band is not None:
+            return banded_attention_xla(qd, kd, vd, band)
+        return xla_attention(qd, kd, vd, None)
+
+    _, attn_vjp = jax.vjp(attn_fn, q_s, k, v)
+    dq_s, dk, dv = attn_vjp(dattn_h.astype(dt))
+    dq = dq_s.astype(jnp.float32) * scale
+    dqkv = jnp.stack([dq, dk.astype(jnp.float32), dv.astype(jnp.float32)])
+    dqkv = jnp.transpose(dqkv, (1, 3, 0, 2, 4)).reshape(b, n, 3 * c)
+
+    x_norm, rstd1 = _ln_stats(x)
+    z1 = x_norm * params["norm1_scale"].astype(jnp.float32) \
+        + params["norm1_bias"].astype(jnp.float32)
+    dWqkv = mm(z1, dqkv, "bnc,bnk->ck")
+    dbqkv = dqkv.sum((0, 1))
+    dz1 = mm(dqkv, params["qkv_kernel"], "bnk,ck->bnc")
+    ds1 = (dz1 * x_norm).sum((0, 1))
+    db1ln = dz1.sum((0, 1))
+    dx_norm = dz1 * params["norm1_scale"].astype(jnp.float32)
+    dx = dy + _ln_bwd(dx_norm, x_norm, rstd1)
+
+    dparams = dict(
+        norm1_scale=ds1, norm1_bias=db1ln,
+        qkv_kernel=dWqkv, qkv_bias=dbqkv,
+        proj_kernel=dWp, proj_bias=dbp,
+        norm2_scale=ds2, norm2_bias=db2ln,
+        fc1_kernel=dW1, fc1_bias=db1,
+        fc2_kernel=dW2, fc2_bias=db2,
+    )
+    dparams = {kk: vv.astype(params[kk].dtype) for kk, vv in dparams.items()}
+    return dx.astype(x.dtype), dparams
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _fused_train(x, params, dm_a, dm_b, num_heads, scale, band, interpret):
+    out, _ = _forward(x, params, dm_a, dm_b, num_heads, scale, band,
+                      interpret)
+    return out
+
+
+def _fused_train_fwd(x, params, dm_a, dm_b, num_heads, scale, band,
+                     interpret):
+    out, res = _forward(x, params, dm_a, dm_b, num_heads, scale, band,
+                        interpret)
+    return out, (x, params, dm_a, dm_b, res)
+
+
+def _fused_train_bwd(num_heads, scale, band, interpret, saved, g):
+    x, params, dm_a, dm_b, res = saved
+    dx, dparams = _bwd_xla(x, params, dm_a, dm_b, res, g,
+                           num_heads, scale, band)
+    return dx, dparams, jnp.zeros_like(dm_a), jnp.zeros_like(dm_b)
+
+
+_fused_train.defvjp(_fused_train_fwd, _fused_train_bwd)
+
+
+def fused_block_train(x, params, dm_a, dm_b, *, num_heads: int, scale: float,
+                      band=None, interpret: bool = False):
+    """Fused training-mode SVTR block with a residual-saving custom VJP.
+
+    x: [B, N, C]; params: the Block param dict (12 leaves); dm_a / dm_b:
+    [B, 1] pre-divided droppath keep masks (mask/keep; ones when droppath is
+    off) for the attention / MLP branches; ``band`` = (h, w, hk, wk) for
+    Local column-major blocks (banded score/PV in BOTH directions) or None
+    for Global blocks (full-window attention, no mask).
+
+    Callers must fall back to the composed path when a Local mask is not
+    col-major-banded: band=None means mask-free GLOBAL attention here, so a
+    Local geometry whose band plan does not exist is rejected loudly rather
+    than silently dropping the mask.
+    """
+    if band is not None and (_band_spec(*band) is None
+                             or band[0] * band[1] != x.shape[1]):
+        raise ValueError(f"fused_block_train: Local band {band} has no "
+                         f"banded plan for N={x.shape[1]} — use the "
+                         "composed path")
+    params = {kk: params[kk] for kk in _PARAM_KEYS}
+    return _fused_train(x, params, dm_a, dm_b, num_heads, scale,
+                        band, interpret)
