@@ -147,13 +147,21 @@ def _secondary_arch(name, overrides, batch_size=256, int8=False):
 
 
 def _train_step_bench(arch="CRNN", batch_size=256, dtype=None,
-                      overrides=None):
+                      overrides=None, fused=False):
     """Full train-step rows (fwd+CTC+bwd+clip+Adam).  The SVTR bf16 row is
     the VERDICT r4 #2 target metric: the round-5 training path runs banded
-    local attention + banded XLA backward + degree-15 erf-poly GELU."""
+    local attention + banded XLA backward + degree-15 erf-poly GELU.
+    ``fused=True`` additionally routes every SVTR block through the fused
+    training kernel + residual-saving custom VJP
+    (ops/svtr_train_block.fused_block_train) via MRN_FUSED_TRAIN=1, read at
+    trace time inside Block.__call__."""
     import optax
     from mrn_tpu.ops.ctc import ctc_loss
     from mrn_tpu.ops.schedules import onecycle_schedule
+
+    prev_fused = os.environ.get("MRN_FUSED_TRAIN")
+    if fused:
+        os.environ["MRN_FUSED_TRAIN"] = "1"
 
     overrides = overrides or dict(
         Transformation="None", FeatureExtraction="VGG",
@@ -189,15 +197,26 @@ def _train_step_bench(arch="CRNN", batch_size=256, dtype=None,
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), new_stats, opt_state, loss
 
-    for _ in range(2):
-        params, stats, opt_state, loss = step(params, stats, opt_state, image)
+    try:
+        for _ in range(2):
+            params, stats, opt_state, loss = step(params, stats, opt_state,
+                                                  image)
+            jax.block_until_ready(loss)
+        t0 = time.perf_counter()
+        for _ in range(10):
+            params, stats, opt_state, loss = step(params, stats, opt_state,
+                                                  image)
         jax.block_until_ready(loss)
-    t0 = time.perf_counter()
-    for _ in range(10):
-        params, stats, opt_state, loss = step(params, stats, opt_state, image)
-    jax.block_until_ready(loss)
-    dt = (time.perf_counter() - t0) / 10
+        dt = (time.perf_counter() - t0) / 10
+    finally:
+        if fused:
+            if prev_fused is None:
+                os.environ.pop("MRN_FUSED_TRAIN", None)
+            else:
+                os.environ["MRN_FUSED_TRAIN"] = prev_fused
     tag = "bf16" if dtype == jnp.bfloat16 else "f32"
+    if fused:
+        tag += " fused"
     _emit(f"{arch} train step bs{batch_size} {tag}", dt * 1000, "ms",
           imgs_per_s=round(batch_size / dt, 1))
 
@@ -378,6 +397,8 @@ def main():
         ("MRN serving", _mrn_serving_bench, (), {}),
         ("SVTR train-step bf16", _train_step_bench,
          ("SVTR",), dict(dtype=jnp.bfloat16, overrides=_SVTR)),
+        ("SVTR train-step fused bf16", _train_step_bench,
+         ("SVTR",), dict(dtype=jnp.bfloat16, overrides=_SVTR, fused=True)),
         ("CRNN train-step", _train_step_bench, ("CRNN",), {}),
         # informational checks last
         ("SVTR int8 bs1024", _secondary_arch, ("SVTR", _SVTR),
