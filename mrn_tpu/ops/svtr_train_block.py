@@ -133,6 +133,10 @@ def _make_train_kernel(group, num_heads, head_dim, scale, qb, width, starts):
         n = x_ref.shape[1]
         dt = x_ref.dtype
         mask = mask_ref[...]
+        # droppath masks arrive as the WHOLE [B, 1] array in SMEM (Mosaic
+        # requires sub-array blocks' trailing dims divisible by (8, 128),
+        # which a (group, 1) block violates); index by absolute image id.
+        g_base = pl.program_id(0) * group
 
         def ln(t, s_ref, b_ref):
             mean = jnp.mean(t, axis=-1, keepdims=True)
@@ -184,7 +188,7 @@ def _make_train_kernel(group, num_heads, head_dim, scale, qb, width, starts):
                         preferred_element_type=jnp.float32) + pb_ref[...]
         for g in range(group):
             rows = slice(g * n, (g + 1) * n)
-            y_scratch[rows, :] = x[rows, :] + a_out[rows, :] * dma_ref[g, 0]
+            y_scratch[rows, :] = x[rows, :] + a_out[rows, :] * dma_ref[g_base + g, 0]
         y = y_scratch[...]
         y_ref[...] = y.reshape(group, n, c).astype(y_ref.dtype)
         h = ln(y, n2s_ref, n2b_ref)
@@ -196,7 +200,7 @@ def _make_train_kernel(group, num_heads, head_dim, scale, qb, width, starts):
         for g in range(group):
             rows = slice(g * n, (g + 1) * n)
             o_ref[pl.ds(g, 1), :, :] = (
-                y[rows, :] + h2[rows, :] * dmb_ref[g, 0]
+                y[rows, :] + h2[rows, :] * dmb_ref[g_base + g, 0]
             ).reshape(1, n, c).astype(o_ref.dtype)
 
     return kernel
@@ -227,7 +231,7 @@ def _forward(x, params, dm_a, dm_b, num_heads, scale, band, interpret):
         params["fc1_kernel"], vec("fc1_bias"),
         params["fc2_kernel"], vec("fc2_bias"),
     ]
-    dm_spec = pl.BlockSpec((group, 1), lambda i: (i, 0),
+    dm_spec = pl.BlockSpec((b, 1), lambda i: (0, 0),
                            memory_space=pltpu.SMEM)
     in_specs = ([x_spec] + [wspec(w.shape) for w in weights]
                 + [wspec(band_mask.shape), dm_spec, dm_spec])
