@@ -403,6 +403,11 @@ def main():
         # informational checks last
         ("SVTR int8 bs1024", _secondary_arch, ("SVTR", _SVTR),
          dict(batch_size=1024, int8=True)),
+        # TRBA batch scaling: the BiLSTM/decoder scans are latency-bound at
+        # bs256 (65+26 sequential steps), so larger batches amortize the
+        # per-step overhead on top of the int8 conv win
+        ("TRBA int8 bs1024", _secondary_arch, ("TRBA", _TRBA),
+         dict(batch_size=1024, int8=True)),
         ("gelu15-parity", _gelu15_parity_check, (), {}),
         ("gelu-approx", _gelu_serving_check, (), {}),
     ]
