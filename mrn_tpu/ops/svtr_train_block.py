@@ -369,6 +369,228 @@ def _bwd_xla(x, params, dm_a, dm_b, res, g, num_heads, scale, band):
     return dx.astype(x.dtype), dparams
 
 
+# ---------------------------------------------------------------------------
+# Fused whole-block BACKWARD kernel (round-5 perf session).
+#
+# The hand-written XLA backward above is algebraically lean but still
+# round-trips every intermediate ([B,N,C] dy/dz/dattn/dqkv..., the f32 GELU
+# chain over [B,N,4C]) through HBM at each einsum boundary — ~14 matmul
+# boundaries per block, which profiling shows keeps the train step at
+# ~80 ms bs256 while the fused inference forward runs the same matmuls in
+# ~9 ms.  This kernel runs the ENTIRE block backward per batch-group in
+# VMEM: reads (x, g, residuals) once, writes dx once, and accumulates the
+# 12 parameter cotangents across the sequential TPU grid (constant-index
+# output blocks stay VMEM-resident between programs).  Attention backward
+# (softmax recompute from qkv + dq/dk/dv) runs banded per query block for
+# Local geometries, full-window for Global — the [B,h,N,N] matrices never
+# exist in HBM in either direction.
+# ---------------------------------------------------------------------------
+
+
+def _pick_group_bwd(b, n, c, hidden, width, itemsize):
+    """Group size whose live f32 working set (~6 [g*n, hidden] + ~12
+    [g*n, c] values plus the banded p/s tiles) fits a conservative VMEM
+    budget."""
+    budget = 24 * 1024 * 1024
+    per_g = n * (6 * hidden + 14 * c) * 4 + n * width * 4 * 2
+    group = max(1, budget // max(per_g, 1))
+    group = int(min(group, 8, b))
+    while b % group:
+        group -= 1
+    return group
+
+
+def _make_bwd_kernel(group, num_heads, head_dim, scale, qb, width, starts):
+    c = num_heads * head_dim
+    nq = len(starts)
+
+    def kernel(x_ref, g_ref, qkv_ref, attn_ref, y_ref, h1_ref,
+               n1s_ref, n1b_ref, qkvk_ref, pk_ref, n2s_ref, n2b_ref,
+               f1k_ref, f2k_ref, mask_ref, dma_ref, dmb_ref,
+               dx_ref,
+               dn1s_ref, dn1b_ref, dqkvk_ref, dqkvb_ref, dpk_ref, dpb_ref,
+               dn2s_ref, dn2b_ref, df1k_ref, df1b_ref, df2k_ref, df2b_ref,
+               dqkv_s):
+        n = x_ref.shape[1]
+        hidden = h1_ref.shape[2]
+        dt = x_ref.dtype
+        g_base = pl.program_id(0) * group
+
+        @pl.when(pl.program_id(0) == 0)
+        def _init():
+            for r in (dn1s_ref, dn1b_ref, dqkvk_ref, dqkvb_ref, dpk_ref,
+                      dpb_ref, dn2s_ref, dn2b_ref, df1k_ref, df1b_ref,
+                      df2k_ref, df2b_ref):
+                r[...] = jnp.zeros(r.shape, r.dtype)
+
+        def mm(a_, b_, dims):
+            return jax.lax.dot_general(a_.astype(dt), b_.astype(dt), dims,
+                                       preferred_element_type=jnp.float32)
+
+        mm_nt = lambda a_, b_: mm(a_, b_, (((1,), (1,)), ((), ())))  # a b^T
+        mm_tn = lambda a_, b_: mm(a_, b_, (((0,), (0,)), ((), ())))  # a^T b
+
+        def ln_stats(t):
+            mean = jnp.mean(t, axis=-1, keepdims=True)
+            var = jnp.mean(t * t, axis=-1, keepdims=True) - mean * mean
+            rstd = jax.lax.rsqrt(var + 1e-6)
+            return (t - mean) * rstd, rstd
+
+        def ln_bwd(d_norm, normed, rstd):
+            return rstd * (d_norm - jnp.mean(d_norm, -1, keepdims=True)
+                           - normed * jnp.mean(d_norm * normed, -1,
+                                               keepdims=True))
+
+        rows = group * n
+        gg = g_ref[...].reshape(rows, c).astype(jnp.float32)
+        # per-image droppath row scales -> [rows, 1]
+        dma = jnp.concatenate(
+            [jnp.full((n, 1), dma_ref[g_base + g, 0], jnp.float32)
+             for g in range(group)], axis=0)
+        dmb = jnp.concatenate(
+            [jnp.full((n, 1), dmb_ref[g_base + g, 0], jnp.float32)
+             for g in range(group)], axis=0)
+
+        # ---- MLP branch
+        dh2 = gg * dmb
+        h1f = h1_ref[...].reshape(rows, hidden).astype(jnp.float32)
+        gval = _gelu15(h1f)
+        df2k_ref[...] += mm_tn(gval, dh2)
+        df2b_ref[...] += jnp.sum(dh2, axis=0, keepdims=True)
+        dgv = mm_nt(dh2, f2k_ref[...])
+        dh1 = dgv * _gelu15_grad(h1f)
+        y32 = y_ref[...].reshape(rows, c).astype(jnp.float32)
+        y_norm, rstd2 = ln_stats(y32)
+        z2 = y_norm * n2s_ref[...] + n2b_ref[...]
+        df1k_ref[...] += mm_tn(z2, dh1)
+        df1b_ref[...] += jnp.sum(dh1, axis=0, keepdims=True)
+        dz2 = mm_nt(dh1, f1k_ref[...])
+        dn2s_ref[...] += jnp.sum(dz2 * y_norm, axis=0, keepdims=True)
+        dn2b_ref[...] += jnp.sum(dz2, axis=0, keepdims=True)
+        dy = gg + ln_bwd(dz2 * n2s_ref[...], y_norm, rstd2)
+
+        # ---- attention projection
+        da = dy * dma
+        attn_cat = attn_ref[...].reshape(rows, c).astype(jnp.float32)
+        dpk_ref[...] += mm_tn(attn_cat, da)
+        dpb_ref[...] += jnp.sum(da, axis=0, keepdims=True)
+        dattn = mm_nt(da, pk_ref[...])
+
+        # ---- attention core backward (banded softmax recompute from qkv)
+        qkv = qkv_ref[...].reshape(rows, 3 * c)
+        mask = mask_ref[...]
+        dqkv_s[...] = jnp.zeros(dqkv_s.shape, dqkv_s.dtype)
+        for g in range(group):
+            for hd in range(num_heads):
+                lo = hd * head_dim
+                for a in range(nq):
+                    qrows = slice(g * n + a * qb, g * n + (a + 1) * qb)
+                    krows = slice(g * n + starts[a],
+                                  g * n + starts[a] + width)
+                    q_s = qkv[qrows, lo:lo + head_dim].astype(
+                        jnp.float32) * scale
+                    k = qkv[krows, c + lo:c + lo + head_dim]
+                    v = qkv[krows, 2 * c + lo:2 * c + lo + head_dim]
+                    s = mm_nt(q_s, k) + mask[a * qb:(a + 1) * qb, :]
+                    m = jnp.max(s, axis=-1, keepdims=True)
+                    e = jnp.exp(s - m)
+                    p = e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))
+                    do = dattn[g * n + a * qb:g * n + (a + 1) * qb,
+                               lo:lo + head_dim]
+                    dqkv_s[krows, 2 * c + lo:2 * c + lo + head_dim] += \
+                        mm_tn(p, do)
+                    dp = mm_nt(do, v)
+                    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+                    dqkv_s[qrows, lo:lo + head_dim] += mm(
+                        ds, k, (((1,), (0,)), ((), ()))) * scale
+                    dqkv_s[krows, c + lo:c + lo + head_dim] += mm_tn(ds, q_s)
+
+        # ---- qkv projection + first LayerNorm
+        dqkv = dqkv_s[...]
+        x32 = x_ref[...].reshape(rows, c).astype(jnp.float32)
+        x_norm, rstd1 = ln_stats(x32)
+        z1 = x_norm * n1s_ref[...] + n1b_ref[...]
+        dqkvk_ref[...] += mm_tn(z1, dqkv)
+        dqkvb_ref[...] += jnp.sum(dqkv, axis=0, keepdims=True)
+        dz1 = mm_nt(dqkv, qkvk_ref[...])
+        dn1s_ref[...] += jnp.sum(dz1 * x_norm, axis=0, keepdims=True)
+        dn1b_ref[...] += jnp.sum(dz1, axis=0, keepdims=True)
+        dx = dy + ln_bwd(dz1 * n1s_ref[...], x_norm, rstd1)
+        dx_ref[...] = dx.reshape(group, n, c).astype(dx_ref.dtype)
+
+    return kernel
+
+
+def _bwd_pallas(x, params, dm_a, dm_b, res, g, num_heads, scale, band,
+                interpret=False):
+    """Whole-block backward in one Pallas kernel; same contract as
+    ``_bwd_xla``."""
+    qkv, attn_cat, y, h1 = res
+    b, n, c = x.shape
+    hidden = params["fc1_kernel"].shape[1]
+    head_dim = c // num_heads
+    qb, width, starts, band_mask = _plan(band, n)
+    group = _pick_group_bwd(b, n, c, hidden, width, x.dtype.itemsize)
+
+    def vec(name):
+        return params[name].reshape(1, -1).astype(jnp.float32)
+
+    x_spec = pl.BlockSpec((group, n, c), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+
+    def wspec(shape, space=pltpu.VMEM):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda i: (0,) * nd, memory_space=space)
+
+    weights = [vec("norm1_scale"), vec("norm1_bias"), params["qkv_kernel"],
+               params["proj_kernel"], vec("norm2_scale"), vec("norm2_bias"),
+               params["fc1_kernel"], params["fc2_kernel"]]
+    dm_spec = pl.BlockSpec((b, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    in_specs = ([x_spec, x_spec,
+                 pl.BlockSpec((group, n, 3 * c), lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM),
+                 x_spec, x_spec,
+                 pl.BlockSpec((group, n, hidden), lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM)]
+                + [wspec(w.shape) for w in weights]
+                + [wspec(band_mask.shape), dm_spec, dm_spec])
+
+    acc = [  # (shape) of each f32 parameter-cotangent accumulator
+        (1, c), (1, c), (c, 3 * c), (1, 3 * c), (c, c), (1, c),
+        (1, c), (1, c), (c, hidden), (1, hidden), (hidden, c), (1, c)]
+    out_specs = [x_spec] + [wspec(s) for s in acc]
+    out_shape = ([jax.ShapeDtypeStruct((b, n, c), x.dtype)]
+                 + [jax.ShapeDtypeStruct(s, jnp.float32) for s in acc])
+
+    outs = pl.pallas_call(
+        _make_bwd_kernel(group, num_heads, head_dim, scale, qb, width,
+                         starts),
+        grid=(b // group,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((group * n, 3 * c), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x, g, qkv, attn_cat, y, h1, *weights, jnp.asarray(band_mask),
+      dm_a.astype(jnp.float32), dm_b.astype(jnp.float32))
+
+    dx = outs[0]
+    (dn1s, dn1b, dqkvk, dqkvb, dpk, dpb, dn2s, dn2b, df1k, df1b, df2k,
+     df2b) = outs[1:]
+    dparams = dict(
+        norm1_scale=dn1s.reshape(-1), norm1_bias=dn1b.reshape(-1),
+        qkv_kernel=dqkvk, qkv_bias=dqkvb.reshape(-1),
+        proj_kernel=dpk, proj_bias=dpb.reshape(-1),
+        norm2_scale=dn2s.reshape(-1), norm2_bias=dn2b.reshape(-1),
+        fc1_kernel=df1k, fc1_bias=df1b.reshape(-1),
+        fc2_kernel=df2k, fc2_bias=df2b.reshape(-1),
+    )
+    dparams = {kk: vv.astype(params[kk].dtype) for kk, vv in dparams.items()}
+    return dx, dparams
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def _fused_train(x, params, dm_a, dm_b, num_heads, scale, band, interpret):
     out, _ = _forward(x, params, dm_a, dm_b, num_heads, scale, band,
@@ -384,9 +606,18 @@ def _fused_train_fwd(x, params, dm_a, dm_b, num_heads, scale, band,
 
 
 def _fused_train_bwd(num_heads, scale, band, interpret, saved, g):
+    import os
+
     x, params, dm_a, dm_b, res = saved
-    dx, dparams = _bwd_xla(x, params, dm_a, dm_b, res, g,
-                           num_heads, scale, band)
+    # Whole-block Pallas backward by default (all algebra in VMEM, dW
+    # accumulated across the grid); MRN_FUSED_BWD=xla restores the
+    # hand-written einsum backward for A/B and as an escape hatch.
+    if os.environ.get("MRN_FUSED_BWD", "pallas") == "xla":
+        dx, dparams = _bwd_xla(x, params, dm_a, dm_b, res, g,
+                               num_heads, scale, band)
+    else:
+        dx, dparams = _bwd_pallas(x, params, dm_a, dm_b, res, g,
+                                  num_heads, scale, band, interpret)
     return dx, dparams, jnp.zeros_like(dm_a), jnp.zeros_like(dm_b)
 
 

@@ -65,10 +65,15 @@ def test_forward_matches_composed(rng, mixer, heads, hw, col_major):
                                atol=2e-5, rtol=2e-5)
 
 
+@pytest.mark.parametrize("bwd_impl", ["pallas", "xla"])
 @pytest.mark.parametrize("mixer,heads,hw,col_major", GEOMS)
-def test_gradients_match_composed_autodiff(rng, mixer, heads, hw, col_major):
+def test_gradients_match_composed_autodiff(rng, mixer, heads, hw, col_major,
+                                           bwd_impl, monkeypatch):
     """Grads wrt x AND every one of the 12 block params match reverse-mode
-    autodiff of the composed XLA path under a random cotangent."""
+    autodiff of the composed XLA path under a random cotangent — for BOTH
+    custom-VJP backends (the whole-block Pallas backward kernel and the
+    hand-written XLA einsum backward)."""
+    monkeypatch.setenv("MRN_FUSED_BWD", bwd_impl)
     block, variables, x, band = _build(mixer, heads, hw, col_major, rng,
                                        batch=2)
     c = x.shape[-1]
@@ -94,6 +99,30 @@ def test_gradients_match_composed_autodiff(rng, mixer, heads, hw, col_major):
             np.asarray(flat_f[path]), np.asarray(leaf),
             atol=3e-4, rtol=3e-4,
             err_msg=f"param grad mismatch at {path}")
+
+
+def test_droppath_masks_scale_gradients(rng, monkeypatch):
+    """Non-trivial per-image droppath masks: the Pallas backward must see the
+    same per-branch row scaling the forward applied (compare against the XLA
+    backward, which the composed-autodiff test above already anchors)."""
+    block, variables, x, band = _build("Global", 2, (4, 16), False, rng,
+                                       batch=4)
+    c = x.shape[-1]
+    w = jnp.asarray(rng.normal(size=x.shape).astype(np.float32))
+    dm_a = jnp.asarray([[1.25], [0.0], [1.25], [1.25]], jnp.float32)
+    dm_b = jnp.asarray([[0.0], [1.25], [1.25], [0.0]], jnp.float32)
+
+    def loss(params, x_):
+        return jnp.sum(_fused(params, x_, 2, c, band, dm=(dm_a, dm_b)) * w)
+
+    grads = {}
+    for impl in ("pallas", "xla"):
+        monkeypatch.setenv("MRN_FUSED_BWD", impl)
+        grads[impl] = jax.grad(loss, argnums=(0, 1))(variables["params"], x)
+    for ref_leaf, pl_leaf in zip(jax.tree_util.tree_leaves(grads["xla"]),
+                                 jax.tree_util.tree_leaves(grads["pallas"])):
+        np.testing.assert_allclose(np.asarray(pl_leaf), np.asarray(ref_leaf),
+                                   atol=1e-5, rtol=1e-5)
 
 
 def test_droppath_zero_mask_is_identity(rng):
