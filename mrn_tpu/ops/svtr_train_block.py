@@ -370,29 +370,41 @@ def _bwd_xla(x, params, dm_a, dm_b, res, g, num_heads, scale, band):
 
 
 # ---------------------------------------------------------------------------
-# Fused whole-block BACKWARD kernel (round-5 perf session).
+# Fused SPLIT backward (round-5 perf session).
 #
 # The hand-written XLA backward above is algebraically lean but still
 # round-trips every intermediate ([B,N,C] dy/dz/dattn/dqkv..., the f32 GELU
 # chain over [B,N,4C]) through HBM at each einsum boundary — ~14 matmul
-# boundaries per block, which profiling shows keeps the train step at
-# ~80 ms bs256 while the fused inference forward runs the same matmuls in
-# ~9 ms.  This kernel runs the ENTIRE block backward per batch-group in
-# VMEM: reads (x, g, residuals) once, writes dx once, and accumulates the
-# 12 parameter cotangents across the sequential TPU grid (constant-index
-# output blocks stay VMEM-resident between programs).  Attention backward
-# (softmax recompute from qkv + dq/dk/dv) runs banded per query block for
-# Local geometries, full-window for Global — the [B,h,N,N] matrices never
-# exist in HBM in either direction.
+# boundaries per block, which keeps the train step at ~80 ms bs256 while the
+# fused inference forward runs the same matmuls in ~9 ms.  A monolithic
+# whole-block backward kernel (residuals in, dx + 12 param cotangents out,
+# attention softmax recomputed per head/query-block in-kernel) was built
+# first and is numerically correct in interpret mode, but its unrolled
+# per-(image, head, query-block) read-modify-write accumulation is a Mosaic
+# compile pathology (>20 min for ONE small geometry) — so the landed design
+# splits the backward at the attention boundary into straight-line
+# row-parallel pieces that compile like the forward kernel:
+#
+#   tail kernel : g, y, h1, attn_cat  ->  dy, dattn   (MLP + LN2 + proj
+#                 backward; accumulates dW2/db2/dW1/db1/dn2/dWp/dbp across
+#                 the sequential grid — constant-index output blocks stay
+#                 VMEM-resident between programs)
+#   XLA middle  : attention backward via jax.vjp of the banded/full
+#                 formulation (recomputes score/softmax tiles only; for
+#                 Local geometries the [B,h,N,N] matrix never exists)
+#   head kernel : x, dy, dqkv  ->  dx  (qkv projection + LN1 backward;
+#                 accumulates dWqkv/dbqkv/dn1)
+#
+# HBM traffic per block becomes read(residuals)+write(dy,dattn,dqkv,dx)
+# instead of ~14 round-trips of every intermediate.
 # ---------------------------------------------------------------------------
 
 
-def _pick_group_bwd(b, n, c, hidden, width, itemsize):
-    """Group size whose live f32 working set (~6 [g*n, hidden] + ~12
-    [g*n, c] values plus the banded p/s tiles) fits a conservative VMEM
-    budget."""
+def _pick_group_bwd(b, n, c, hidden, itemsize):
+    """Group size whose live f32 working set (~4 [g*n, hidden] + ~8
+    [g*n, c] values) fits a conservative VMEM budget."""
     budget = 24 * 1024 * 1024
-    per_g = n * (6 * hidden + 14 * c) * 4 + n * width * 4 * 2
+    per_g = n * (4 * hidden + 8 * c) * 4
     group = max(1, budget // max(per_g, 1))
     group = int(min(group, 8, b))
     while b % group:
@@ -400,58 +412,59 @@ def _pick_group_bwd(b, n, c, hidden, width, itemsize):
     return group
 
 
-def _make_bwd_kernel(group, num_heads, head_dim, scale, qb, width, starts):
-    c = num_heads * head_dim
-    nq = len(starts)
+def _droppath_rows(ref, g_base, group, n):
+    """Per-image droppath scales from the SMEM [B, 1] array -> [group*n, 1]
+    f32 rows (masks arrive whole because Mosaic sub-array blocks need
+    (8, 128)-divisible trailing dims)."""
+    return jnp.concatenate(
+        [jnp.full((n, 1), ref[g_base + g, 0], jnp.float32)
+         for g in range(group)], axis=0)
 
-    def kernel(x_ref, g_ref, qkv_ref, attn_ref, y_ref, h1_ref,
-               n1s_ref, n1b_ref, qkvk_ref, pk_ref, n2s_ref, n2b_ref,
-               f1k_ref, f2k_ref, mask_ref, dma_ref, dmb_ref,
-               dx_ref,
-               dn1s_ref, dn1b_ref, dqkvk_ref, dqkvb_ref, dpk_ref, dpb_ref,
+
+def _ln_stats_k(t):
+    mean = jnp.mean(t, axis=-1, keepdims=True)
+    var = jnp.mean(t * t, axis=-1, keepdims=True) - mean * mean
+    rstd = jax.lax.rsqrt(var + 1e-6)
+    return (t - mean) * rstd, rstd
+
+
+def _ln_bwd_k(d_norm, normed, rstd):
+    return rstd * (d_norm - jnp.mean(d_norm, -1, keepdims=True)
+                   - normed * jnp.mean(d_norm * normed, -1, keepdims=True))
+
+
+def _make_bwd_tail_kernel(group):
+    def kernel(g_ref, y_ref, h1_ref, attn_ref,
+               n2s_ref, n2b_ref, f1k_ref, f2k_ref, pk_ref,
+               dma_ref, dmb_ref,
+               dy_ref, dattn_ref,
                dn2s_ref, dn2b_ref, df1k_ref, df1b_ref, df2k_ref, df2b_ref,
-               dqkv_s):
-        n = x_ref.shape[1]
+               dpk_ref, dpb_ref):
+        n = g_ref.shape[1]
+        c = g_ref.shape[2]
         hidden = h1_ref.shape[2]
-        dt = x_ref.dtype
+        dt = g_ref.dtype
         g_base = pl.program_id(0) * group
 
         @pl.when(pl.program_id(0) == 0)
         def _init():
-            for r in (dn1s_ref, dn1b_ref, dqkvk_ref, dqkvb_ref, dpk_ref,
-                      dpb_ref, dn2s_ref, dn2b_ref, df1k_ref, df1b_ref,
-                      df2k_ref, df2b_ref):
+            for r in (dn2s_ref, dn2b_ref, df1k_ref, df1b_ref, df2k_ref,
+                      df2b_ref, dpk_ref, dpb_ref):
                 r[...] = jnp.zeros(r.shape, r.dtype)
 
         def mm(a_, b_, dims):
             return jax.lax.dot_general(a_.astype(dt), b_.astype(dt), dims,
                                        preferred_element_type=jnp.float32)
 
-        mm_nt = lambda a_, b_: mm(a_, b_, (((1,), (1,)), ((), ())))  # a b^T
-        mm_tn = lambda a_, b_: mm(a_, b_, (((0,), (0,)), ((), ())))  # a^T b
-
-        def ln_stats(t):
-            mean = jnp.mean(t, axis=-1, keepdims=True)
-            var = jnp.mean(t * t, axis=-1, keepdims=True) - mean * mean
-            rstd = jax.lax.rsqrt(var + 1e-6)
-            return (t - mean) * rstd, rstd
-
-        def ln_bwd(d_norm, normed, rstd):
-            return rstd * (d_norm - jnp.mean(d_norm, -1, keepdims=True)
-                           - normed * jnp.mean(d_norm * normed, -1,
-                                               keepdims=True))
+        mm_nt = lambda a_, b_: mm(a_, b_, (((1,), (1,)), ((), ())))
+        mm_tn = lambda a_, b_: mm(a_, b_, (((0,), (0,)), ((), ())))
 
         rows = group * n
         gg = g_ref[...].reshape(rows, c).astype(jnp.float32)
-        # per-image droppath row scales -> [rows, 1]
-        dma = jnp.concatenate(
-            [jnp.full((n, 1), dma_ref[g_base + g, 0], jnp.float32)
-             for g in range(group)], axis=0)
-        dmb = jnp.concatenate(
-            [jnp.full((n, 1), dmb_ref[g_base + g, 0], jnp.float32)
-             for g in range(group)], axis=0)
+        dma = _droppath_rows(dma_ref, g_base, group, n)
+        dmb = _droppath_rows(dmb_ref, g_base, group, n)
 
-        # ---- MLP branch
+        # ---- MLP branch: out = y + dmb * (gelu(z2 W1 + b1) W2 + b2)
         dh2 = gg * dmb
         h1f = h1_ref[...].reshape(rows, hidden).astype(jnp.float32)
         gval = _gelu15(h1f)
@@ -460,125 +473,159 @@ def _make_bwd_kernel(group, num_heads, head_dim, scale, qb, width, starts):
         dgv = mm_nt(dh2, f2k_ref[...])
         dh1 = dgv * _gelu15_grad(h1f)
         y32 = y_ref[...].reshape(rows, c).astype(jnp.float32)
-        y_norm, rstd2 = ln_stats(y32)
+        y_norm, rstd2 = _ln_stats_k(y32)
         z2 = y_norm * n2s_ref[...] + n2b_ref[...]
         df1k_ref[...] += mm_tn(z2, dh1)
         df1b_ref[...] += jnp.sum(dh1, axis=0, keepdims=True)
         dz2 = mm_nt(dh1, f1k_ref[...])
         dn2s_ref[...] += jnp.sum(dz2 * y_norm, axis=0, keepdims=True)
         dn2b_ref[...] += jnp.sum(dz2, axis=0, keepdims=True)
-        dy = gg + ln_bwd(dz2 * n2s_ref[...], y_norm, rstd2)
+        dy = gg + _ln_bwd_k(dz2 * n2s_ref[...], y_norm, rstd2)
+        dy_ref[...] = dy.reshape(group, n, c).astype(dy_ref.dtype)
 
-        # ---- attention projection
+        # ---- attention projection: y = x + dma * (attn_cat Wp + bp)
         da = dy * dma
         attn_cat = attn_ref[...].reshape(rows, c).astype(jnp.float32)
         dpk_ref[...] += mm_tn(attn_cat, da)
         dpb_ref[...] += jnp.sum(da, axis=0, keepdims=True)
         dattn = mm_nt(da, pk_ref[...])
+        dattn_ref[...] = dattn.reshape(group, n, c).astype(dattn_ref.dtype)
 
-        # ---- attention core backward (banded softmax recompute from qkv)
-        qkv = qkv_ref[...].reshape(rows, 3 * c)
-        mask = mask_ref[...]
-        dqkv_s[...] = jnp.zeros(dqkv_s.shape, dqkv_s.dtype)
-        for g in range(group):
-            for hd in range(num_heads):
-                lo = hd * head_dim
-                for a in range(nq):
-                    qrows = slice(g * n + a * qb, g * n + (a + 1) * qb)
-                    krows = slice(g * n + starts[a],
-                                  g * n + starts[a] + width)
-                    q_s = qkv[qrows, lo:lo + head_dim].astype(
-                        jnp.float32) * scale
-                    k = qkv[krows, c + lo:c + lo + head_dim]
-                    v = qkv[krows, 2 * c + lo:2 * c + lo + head_dim]
-                    s = mm_nt(q_s, k) + mask[a * qb:(a + 1) * qb, :]
-                    m = jnp.max(s, axis=-1, keepdims=True)
-                    e = jnp.exp(s - m)
-                    p = e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))
-                    do = dattn[g * n + a * qb:g * n + (a + 1) * qb,
-                               lo:lo + head_dim]
-                    dqkv_s[krows, 2 * c + lo:2 * c + lo + head_dim] += \
-                        mm_tn(p, do)
-                    dp = mm_nt(do, v)
-                    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-                    dqkv_s[qrows, lo:lo + head_dim] += mm(
-                        ds, k, (((1,), (0,)), ((), ()))) * scale
-                    dqkv_s[krows, c + lo:c + lo + head_dim] += mm_tn(ds, q_s)
+    return kernel
 
-        # ---- qkv projection + first LayerNorm
-        dqkv = dqkv_s[...]
+
+def _make_bwd_head_kernel(group):
+    def kernel(x_ref, dy_ref, dqkv_ref, n1s_ref, n1b_ref, qkvk_ref,
+               dx_ref, dn1s_ref, dn1b_ref, dqkvk_ref, dqkvb_ref):
+        n = x_ref.shape[1]
+        c = x_ref.shape[2]
+        dt = x_ref.dtype
+
+        @pl.when(pl.program_id(0) == 0)
+        def _init():
+            for r in (dn1s_ref, dn1b_ref, dqkvk_ref, dqkvb_ref):
+                r[...] = jnp.zeros(r.shape, r.dtype)
+
+        def mm(a_, b_, dims):
+            return jax.lax.dot_general(a_.astype(dt), b_.astype(dt), dims,
+                                       preferred_element_type=jnp.float32)
+
+        rows = group * n
+        dqkv = dqkv_ref[...].reshape(rows, 3 * c).astype(jnp.float32)
         x32 = x_ref[...].reshape(rows, c).astype(jnp.float32)
-        x_norm, rstd1 = ln_stats(x32)
+        x_norm, rstd1 = _ln_stats_k(x32)
         z1 = x_norm * n1s_ref[...] + n1b_ref[...]
-        dqkvk_ref[...] += mm_tn(z1, dqkv)
+        dqkvk_ref[...] += mm(z1, dqkv, (((0,), (0,)), ((), ())))
         dqkvb_ref[...] += jnp.sum(dqkv, axis=0, keepdims=True)
-        dz1 = mm_nt(dqkv, qkvk_ref[...])
+        dz1 = mm(dqkv, qkvk_ref[...], (((1,), (1,)), ((), ())))
         dn1s_ref[...] += jnp.sum(dz1 * x_norm, axis=0, keepdims=True)
         dn1b_ref[...] += jnp.sum(dz1, axis=0, keepdims=True)
-        dx = dy + ln_bwd(dz1 * n1s_ref[...], x_norm, rstd1)
+        dy = dy_ref[...].reshape(rows, c).astype(jnp.float32)
+        dx = dy + _ln_bwd_k(dz1 * n1s_ref[...], x_norm, rstd1)
         dx_ref[...] = dx.reshape(group, n, c).astype(dx_ref.dtype)
 
     return kernel
 
 
+def _attn_bwd_xla(qkv, dattn, num_heads, scale, band, dt):
+    """Attention-core backward via jax.vjp of the banded/full XLA
+    formulation (recomputes only score/softmax tiles).  qkv: [B, N, 3C]
+    residual; dattn: [B, N, C] head-concatenated cotangent; returns
+    dqkv [B, N, 3C] (f32)."""
+    from mrn_tpu.ops.svtr_attention import banded_attention_xla, xla_attention
+
+    b, n, c3 = qkv.shape
+    c = c3 // 3
+    head_dim = c // num_heads
+    qkvf = qkv.astype(jnp.float32).reshape(b, n, 3, num_heads, head_dim)
+    qkvf = jnp.transpose(qkvf, (2, 0, 3, 1, 4))
+    q_s, k, v = qkvf[0] * scale, qkvf[1], qkvf[2]
+    dattn_h = jnp.transpose(
+        dattn.reshape(b, n, num_heads, head_dim), (0, 2, 1, 3))
+
+    def attn_fn(q_, k_, v_):
+        qd, kd, vd = q_.astype(dt), k_.astype(dt), v_.astype(dt)
+        if band is not None:
+            return banded_attention_xla(qd, kd, vd, band)
+        return xla_attention(qd, kd, vd, None)
+
+    _, attn_vjp = jax.vjp(attn_fn, q_s, k, v)
+    dq_s, dk, dv = attn_vjp(dattn_h.astype(dt))
+    dq = dq_s.astype(jnp.float32) * scale
+    dqkv = jnp.stack([dq, dk.astype(jnp.float32), dv.astype(jnp.float32)])
+    return jnp.transpose(dqkv, (1, 3, 0, 2, 4)).reshape(b, n, 3 * c)
+
+
 def _bwd_pallas(x, params, dm_a, dm_b, res, g, num_heads, scale, band,
                 interpret=False):
-    """Whole-block backward in one Pallas kernel; same contract as
-    ``_bwd_xla``."""
+    """Split fused backward (tail kernel -> XLA attention bwd -> head
+    kernel); same contract as ``_bwd_xla``."""
     qkv, attn_cat, y, h1 = res
     b, n, c = x.shape
     hidden = params["fc1_kernel"].shape[1]
-    head_dim = c // num_heads
-    qb, width, starts, band_mask = _plan(band, n)
-    group = _pick_group_bwd(b, n, c, hidden, width, x.dtype.itemsize)
+    dt = x.dtype
+    group = _pick_group_bwd(b, n, c, hidden, x.dtype.itemsize)
 
     def vec(name):
         return params[name].reshape(1, -1).astype(jnp.float32)
 
     x_spec = pl.BlockSpec((group, n, c), lambda i: (i, 0, 0),
                           memory_space=pltpu.VMEM)
+    h_spec = pl.BlockSpec((group, n, hidden), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    q_spec = pl.BlockSpec((group, n, 3 * c), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
 
-    def wspec(shape, space=pltpu.VMEM):
+    def wspec(shape):
         nd = len(shape)
-        return pl.BlockSpec(shape, lambda i: (0,) * nd, memory_space=space)
+        return pl.BlockSpec(shape, lambda i: (0,) * nd,
+                            memory_space=pltpu.VMEM)
 
-    weights = [vec("norm1_scale"), vec("norm1_bias"), params["qkv_kernel"],
-               params["proj_kernel"], vec("norm2_scale"), vec("norm2_bias"),
-               params["fc1_kernel"], params["fc2_kernel"]]
     dm_spec = pl.BlockSpec((b, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
-    in_specs = ([x_spec, x_spec,
-                 pl.BlockSpec((group, n, 3 * c), lambda i: (i, 0, 0),
-                              memory_space=pltpu.VMEM),
-                 x_spec, x_spec,
-                 pl.BlockSpec((group, n, hidden), lambda i: (i, 0, 0),
-                              memory_space=pltpu.VMEM)]
-                + [wspec(w.shape) for w in weights]
-                + [wspec(band_mask.shape), dm_spec, dm_spec])
+    cparams = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
-    acc = [  # (shape) of each f32 parameter-cotangent accumulator
-        (1, c), (1, c), (c, 3 * c), (1, 3 * c), (c, c), (1, c),
-        (1, c), (1, c), (c, hidden), (1, hidden), (hidden, c), (1, c)]
-    out_specs = [x_spec] + [wspec(s) for s in acc]
-    out_shape = ([jax.ShapeDtypeStruct((b, n, c), x.dtype)]
-                 + [jax.ShapeDtypeStruct(s, jnp.float32) for s in acc])
-
-    outs = pl.pallas_call(
-        _make_bwd_kernel(group, num_heads, head_dim, scale, qb, width,
-                         starts),
+    # ---- tail: MLP + LN2 + proj backward
+    tail_w = [vec("norm2_scale"), vec("norm2_bias"), params["fc1_kernel"],
+              params["fc2_kernel"], params["proj_kernel"]]
+    tail_acc = [(1, c), (1, c), (c, hidden), (1, hidden), (hidden, c),
+                (1, c), (c, c), (1, c)]
+    touts = pl.pallas_call(
+        _make_bwd_tail_kernel(group),
         grid=(b // group,),
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((group * n, 3 * c), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+        in_specs=([x_spec, x_spec, h_spec, x_spec]
+                  + [wspec(w.shape) for w in tail_w] + [dm_spec, dm_spec]),
+        out_specs=[x_spec, x_spec] + [wspec(s) for s in tail_acc],
+        out_shape=([jax.ShapeDtypeStruct((b, n, c), dt)] * 2
+                   + [jax.ShapeDtypeStruct(s, jnp.float32)
+                      for s in tail_acc]),
+        compiler_params=cparams,
         interpret=interpret,
-    )(x, g, qkv, attn_cat, y, h1, *weights, jnp.asarray(band_mask),
+    )(g, y, h1, attn_cat, *tail_w,
       dm_a.astype(jnp.float32), dm_b.astype(jnp.float32))
+    dy, dattn = touts[0], touts[1]
+    dn2s, dn2b, df1k, df1b, df2k, df2b, dpk, dpb = touts[2:]
 
-    dx = outs[0]
-    (dn1s, dn1b, dqkvk, dqkvb, dpk, dpb, dn2s, dn2b, df1k, df1b, df2k,
-     df2b) = outs[1:]
+    # ---- middle: attention core backward (XLA, banded for Local)
+    dqkv = _attn_bwd_xla(qkv, dattn, num_heads, scale, band, dt).astype(dt)
+
+    # ---- head: qkv projection + LN1 backward
+    head_w = [vec("norm1_scale"), vec("norm1_bias"), params["qkv_kernel"]]
+    head_acc = [(1, c), (1, c), (c, 3 * c), (1, 3 * c)]
+    houts = pl.pallas_call(
+        _make_bwd_head_kernel(group),
+        grid=(b // group,),
+        in_specs=([x_spec, x_spec, q_spec]
+                  + [wspec(w.shape) for w in head_w]),
+        out_specs=[x_spec] + [wspec(s) for s in head_acc],
+        out_shape=([jax.ShapeDtypeStruct((b, n, c), dt)]
+                   + [jax.ShapeDtypeStruct(s, jnp.float32)
+                      for s in head_acc]),
+        compiler_params=cparams,
+        interpret=interpret,
+    )(x, dy, dqkv, *head_w)
+    dx = houts[0]
+    dn1s, dn1b, dqkvk, dqkvb = houts[1:]
+
     dparams = dict(
         norm1_scale=dn1s.reshape(-1), norm1_bias=dn1b.reshape(-1),
         qkv_kernel=dqkvk, qkv_bias=dqkvb.reshape(-1),
